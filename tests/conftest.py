@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip sharding paths are exercised on a virtual CPU mesh via
+``--xla_force_host_platform_device_count`` — the TPU-world equivalent of a
+multi-node test harness without a real cluster.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
