@@ -1,0 +1,252 @@
+"""Functional ResNet trunks (torchvision-compatible structure) in NHWC.
+
+Supplies the visual backbones the reference takes from torchvision:
+ResNet-101 for the object channel and ResNet-50 (Places365 head) for the
+scene channel (reference ``models/Multi_GCN_Multihead_att.py:274-294,
+586-595``).  Only the trunk (stem + layer1..4) is used by the model — output
+is the [B, H/32, W/32, 2048] feature map.
+
+Design notes (TPU-first):
+- NHWC layout end to end (XLA's preferred TPU conv layout).
+- Convolutions run in the configured compute dtype (bf16 by default in the
+  mixed-precision policy) with f32 parameters, accumulation via
+  ``preferred_element_type=f32``.
+- BatchNorm supports torch-faithful train-mode statistics ('batch': batch
+  stats for normalization + running-stat updates with unbiased variance,
+  momentum 0.1) and frozen inference stats ('frozen').
+- Structure and parameter naming mirror torchvision so
+  :func:`import_torch_state_dict` can map a ``resnet{50,101}`` /
+  Places365 checkpoint weight-for-weight.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RESNET_LAYERS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+EXPANSION = 4
+
+
+# ---------------------------------------------------------------------------
+# primitives
+
+
+def conv_init(key: jax.Array, kh: int, kw: int, cin: int, cout: int, dtype=jnp.float32) -> dict:
+    """Kaiming-normal fan_out (torchvision's ResNet init)."""
+    fan_out = kh * kw * cout
+    std = np.sqrt(2.0 / fan_out)
+    return {"w": std * jax.random.normal(key, (kh, kw, cin, cout), dtype)}
+
+
+def conv_apply(p: dict, x: jnp.ndarray, stride: int = 1, padding="SAME", dtype=None) -> jnp.ndarray:
+    w = p["w"]
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def bn_init(c: int, dtype=jnp.float32) -> tuple[dict, dict]:
+    params = {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+    state = {"mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
+    return params, state
+
+
+def bn_apply(
+    p: dict,
+    s: dict,
+    x: jnp.ndarray,
+    *,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> tuple[jnp.ndarray, dict]:
+    """Returns (y, new_state).  Matches ``nn.BatchNorm2d``: train mode
+    normalizes by biased batch variance and updates running stats with the
+    unbiased variance."""
+    if train:
+        x32 = x.astype(jnp.float32)
+        axes = (0, 1, 2)
+        mean = x32.mean(axes)
+        var = x32.var(axes)
+        n = x32.shape[0] * x32.shape[1] * x32.shape[2]
+        unbiased = var * n / max(n - 1, 1)
+        new_state = {
+            "mean": (1 - momentum) * s["mean"] + momentum * mean,
+            "var": (1 - momentum) * s["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_state = s
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean.astype(x.dtype)) * (inv * p["scale"]).astype(x.dtype) + p["bias"].astype(x.dtype)
+    return y, new_state
+
+
+def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2, pad: int = 1) -> jnp.ndarray:
+    """torch ``MaxPool2d(kernel, stride, padding)`` with ceil_mode=False."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bottleneck block
+
+
+def _bottleneck_init(key, cin, width, stride, dtype):
+    ks = jax.random.split(key, 4)
+    cout = width * EXPANSION
+    p, s = {}, {}
+    p["conv1"] = conv_init(ks[0], 1, 1, cin, width, dtype)
+    p["bn1"], s["bn1"] = bn_init(width, dtype)
+    p["conv2"] = conv_init(ks[1], 3, 3, width, width, dtype)
+    p["bn2"], s["bn2"] = bn_init(width, dtype)
+    p["conv3"] = conv_init(ks[2], 1, 1, width, cout, dtype)
+    p["bn3"], s["bn3"] = bn_init(cout, dtype)
+    if stride != 1 or cin != cout:
+        p["downsample_conv"] = conv_init(ks[3], 1, 1, cin, cout, dtype)
+        p["downsample_bn"], s["downsample_bn"] = bn_init(cout, dtype)
+    return p, s
+
+
+def _bottleneck_apply(p, s, x, stride, *, train, dtype):
+    ns = {}
+    out = conv_apply(p["conv1"], x, 1, "SAME", dtype)
+    out, ns["bn1"] = bn_apply(p["bn1"], s["bn1"], out, train=train)
+    out = jax.nn.relu(out)
+    # torchvision puts the stride on the 3x3 conv with padding 1
+    out = conv_apply(p["conv2"], out, stride, ((1, 1), (1, 1)), dtype)
+    out, ns["bn2"] = bn_apply(p["bn2"], s["bn2"], out, train=train)
+    out = jax.nn.relu(out)
+    out = conv_apply(p["conv3"], out, 1, "SAME", dtype)
+    out, ns["bn3"] = bn_apply(p["bn3"], s["bn3"], out, train=train)
+    if "downsample_conv" in p:
+        idn = conv_apply(p["downsample_conv"], x, stride, "VALID", dtype)
+        idn, ns["downsample_bn"] = bn_apply(p["downsample_bn"], s["downsample_bn"], idn, train=train)
+    else:
+        idn = x
+    return jax.nn.relu(out + idn), ns
+
+
+# ---------------------------------------------------------------------------
+# full trunk
+
+
+def resnet_init(key: jax.Array, depth: int = 50, in_chans: int = 3, dtype=jnp.float32) -> tuple[dict, dict]:
+    """Returns (params, batch_stats) for the trunk of ResNet-{depth}."""
+    layers = RESNET_LAYERS[depth]
+    key, k_stem = jax.random.split(key)
+    p: dict = {"conv1": conv_init(k_stem, 7, 7, in_chans, 64, dtype)}
+    s: dict = {}
+    p["bn1"], s["bn1"] = bn_init(64, dtype)
+    cin = 64
+    for li, (blocks, width) in enumerate(zip(layers, (64, 128, 256, 512)), start=1):
+        stride = 1 if li == 1 else 2
+        bp, bs = [], []
+        for b in range(blocks):
+            key, kb = jax.random.split(key)
+            pb, sb = _bottleneck_init(kb, cin, width, stride if b == 0 else 1, dtype)
+            bp.append(pb)
+            bs.append(sb)
+            cin = width * EXPANSION
+        p[f"layer{li}"] = bp
+        s[f"layer{li}"] = bs
+    return p, s
+
+
+def resnet_apply(
+    params: dict,
+    state: dict,
+    x: jnp.ndarray,
+    *,
+    depth: int = 50,
+    train: bool = False,
+    dtype=None,
+) -> tuple[jnp.ndarray, dict]:
+    """x: [B, H, W, 3] normalized images.  Returns ([B, H/32, W/32, 2048],
+    new_batch_stats)."""
+    layers = RESNET_LAYERS[depth]
+    ns: dict = {}
+    out = conv_apply(params["conv1"], x, 2, ((3, 3), (3, 3)), dtype)
+    out, ns["bn1"] = bn_apply(params["bn1"], state["bn1"], out, train=train)
+    out = jax.nn.relu(out)
+    out = max_pool(out, 3, 2, 1)
+    for li, blocks in enumerate(layers, start=1):
+        ns_layer = []
+        for b in range(blocks):
+            stride = 2 if (b == 0 and li > 1) else 1
+            out, nsb = _bottleneck_apply(
+                params[f"layer{li}"][b], state[f"layer{li}"][b], out, stride,
+                train=train, dtype=dtype,
+            )
+            ns_layer.append(nsb)
+        ns[f"layer{li}"] = ns_layer
+    return out, ns
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint import
+
+
+def import_torch_state_dict(state_dict: dict, depth: int) -> tuple[dict, dict]:
+    """Convert a torchvision-format ResNet ``state_dict`` (e.g. the Places365
+    ``resnet50_places365.pth.tar`` after stripping the ``module.`` prefix,
+    reference ``models/Multi_GCN_Multihead_att.py:586-595``) into this
+    module's (params, batch_stats) pytrees.  Tensors may be torch tensors or
+    numpy arrays."""
+
+    def arr(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v)
+
+    def conv_w(name):
+        w = arr(state_dict[name])  # [O, I, kh, kw] -> [kh, kw, I, O]
+        return {"w": jnp.asarray(w.transpose(2, 3, 1, 0), jnp.float32)}
+
+    def bn(name):
+        p = {
+            "scale": jnp.asarray(arr(state_dict[f"{name}.weight"]), jnp.float32),
+            "bias": jnp.asarray(arr(state_dict[f"{name}.bias"]), jnp.float32),
+        }
+        s = {
+            "mean": jnp.asarray(arr(state_dict[f"{name}.running_mean"]), jnp.float32),
+            "var": jnp.asarray(arr(state_dict[f"{name}.running_var"]), jnp.float32),
+        }
+        return p, s
+
+    layers = RESNET_LAYERS[depth]
+    p: dict = {"conv1": conv_w("conv1.weight")}
+    s: dict = {}
+    p["bn1"], s["bn1"] = bn("bn1")
+    for li, blocks in enumerate(layers, start=1):
+        bp, bs = [], []
+        for b in range(blocks):
+            pre = f"layer{li}.{b}"
+            pb: dict = {}
+            sb: dict = {}
+            for ci in (1, 2, 3):
+                pb[f"conv{ci}"] = conv_w(f"{pre}.conv{ci}.weight")
+                pb[f"bn{ci}"], sb[f"bn{ci}"] = bn(f"{pre}.bn{ci}")
+            if f"{pre}.downsample.0.weight" in state_dict:
+                pb["downsample_conv"] = conv_w(f"{pre}.downsample.0.weight")
+                pb["downsample_bn"], sb["downsample_bn"] = bn(f"{pre}.downsample.1")
+            bp.append(pb)
+            bs.append(sb)
+        p[f"layer{li}"] = bp
+        s[f"layer{li}"] = bs
+    return p, s

@@ -7,10 +7,19 @@ multi-node test harness without a real cluster.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient platform (the dev box exports
+# JAX_PLATFORMS=axon for the tunneled TPU chip and something on the import
+# path re-asserts it, so the env var alone is not reliable — use the config
+# API as well).  Tests must be fast, deterministic, and able to fake an
+# 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
