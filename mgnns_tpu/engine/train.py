@@ -1,0 +1,292 @@
+"""The training/eval engine: jitted steps, epoch loop, checkpoints, results.
+
+TPU-first redesign of the reference ``Engine``/``GCNMultiClassEngine``
+(``engine/Multi_GCN_Multihead_Att_engine.py``):
+
+- one jitted, donated ``train_step`` fuses forward + loss + backward + Adam +
+  metric update; no per-step host sync (the reference synced every batch for
+  sklearn metrics, doc-id transfer, and constant re-upload, ``:793-838``);
+- metrics accumulate on device in a confusion matrix and are finalized
+  globally per epoch, matching the reference's "Another Testing" semantics
+  (``:430-445``) rather than its biased per-batch averaging;
+- LR step decay lives inside the optimizer schedule (``:645-652``);
+- Orbax checkpoints every epoch + best-by-val-accuracy tracking, with
+  resume (``:347-357``, ``:624-643``);
+- test results are dumped to experiment/pred text files like the reference
+  (``:447-507``).
+
+The engine is model-agnostic: it is constructed with an ``apply_fn`` of
+signature ``(params, batch_stats, batch, *, train, rng) -> (logits,
+new_batch_stats)`` and never inspects model internals.  When a
+``jax.sharding.Mesh`` is supplied, params/opt-state are placed by the rules
+in :mod:`mgnns_tpu.parallel.sharding` and the same jitted step runs SPMD.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mgnns_tpu.engine import metrics as M
+from mgnns_tpu.engine.optim import make_optimizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted-mean CE over valid rows (reference ``nn.CrossEntropyLoss``)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    ll = logp[jnp.arange(logits.shape[0]), labels]
+    w = weights.astype(jnp.float32)
+    return -(ll * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+class Engine:
+    def __init__(
+        self,
+        apply_fn: Callable,
+        params: Any,
+        batch_stats: Any,
+        *,
+        num_classes: int,
+        lr: float = 5e-5,
+        lrp: float = 0.1,
+        weight_decay: float = 1e-5,
+        grad_clip: float = 10.0,
+        steps_per_epoch: int = 1,
+        epoch_step=(10,),
+        lr_decay: float = 0.2,
+        faithful_param_groups: bool = False,
+        seed: int = 0,
+        checkpoint_dir: str | None = None,
+        max_to_keep: int = 3,
+        mesh=None,
+        param_sharding_rules=None,
+    ):
+        self.apply_fn = apply_fn
+        self.num_classes = num_classes
+        self.tx = make_optimizer(
+            params,
+            lr=lr, lrp=lrp, weight_decay=weight_decay, grad_clip=grad_clip,
+            steps_per_epoch=steps_per_epoch, epoch_step=epoch_step,
+            lr_decay=lr_decay, faithful=faithful_param_groups,
+        )
+        self.mesh = mesh
+        if mesh is not None and param_sharding_rules is not None:
+            from mgnns_tpu.parallel.sharding import shard_pytree
+
+            params = shard_pytree(params, mesh, param_sharding_rules)
+            batch_stats = shard_pytree(batch_stats, mesh, {})
+        self.state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.key(seed),
+        )
+        self.checkpointer = None
+        if checkpoint_dir is not None:
+            from mgnns_tpu.engine.checkpoint import Checkpointer
+
+            self.checkpointer = Checkpointer(checkpoint_dir, max_to_keep)
+        self.epoch = 0
+        self.best_score = 0.0
+        self._build_steps()
+
+    # ------------------------------------------------------------------ jit
+
+    def _build_steps(self):
+        apply_fn, tx, C = self.apply_fn, self.tx, self.num_classes
+
+        def train_step(state: TrainState, batch, cm):
+            rng = jax.random.fold_in(state.rng, state.step)
+
+            def loss_fn(params):
+                logits, new_bs = apply_fn(params, state.batch_stats, batch, train=True, rng=rng)
+                loss = cross_entropy(logits, batch["label"], batch["weight"])
+                return loss, (logits, new_bs)
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            preds = jnp.argmax(logits, axis=-1)
+            cm = M.confusion_update(cm, preds, batch["label"], batch["weight"])
+            new_state = TrainState(new_params, new_bs, new_opt, state.step + 1, state.rng)
+            return new_state, loss, cm
+
+        def eval_step(params, batch_stats, batch, cm):
+            logits, _ = apply_fn(params, batch_stats, batch, train=False, rng=None)
+            loss = cross_entropy(logits, batch["label"], batch["weight"])
+            preds = jnp.argmax(logits, axis=-1)
+            cm = M.confusion_update(cm, preds, batch["label"], batch["weight"])
+            return loss, preds, cm
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 2))
+        self._eval_step = jax.jit(eval_step, donate_argnums=(3,))
+
+    # ---------------------------------------------------------------- epochs
+
+    def train_epoch(self, loader: Iterable[dict], log_every: int = 0) -> dict:
+        cm = M.confusion_init(self.num_classes)
+        losses = []
+        t0 = time.time()
+        n = 0
+        for i, batch in enumerate(loader):
+            self.state, loss, cm = self._train_step(self.state, batch, cm)
+            losses.append(loss)
+            n += int(np.asarray(batch["weight"]).sum())
+            if log_every and (i + 1) % log_every == 0:
+                print(f"  [train {i+1}] loss={float(losses[-1]):.4f}")
+        jax.block_until_ready(self.state.params)
+        dt = time.time() - t0
+        out = M.metrics_from_confusion(cm)
+        out["loss"] = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        out["samples_per_sec"] = n / dt if dt > 0 else 0.0
+        out["epoch_seconds"] = dt
+        return out
+
+    def eval_epoch(self, loader: Iterable[dict], collect_preds: bool = False) -> dict:
+        cm = M.confusion_init(self.num_classes)
+        losses, all_preds, all_ids, all_tgts = [], [], [], []
+        t0 = time.time()
+        n = 0
+        for batch in loader:
+            loss, preds, cm = self._eval_step(self.state.params, self.state.batch_stats, batch, cm)
+            losses.append(loss)
+            n += int(np.asarray(batch["weight"]).sum())
+            if collect_preds:
+                w = np.asarray(batch["weight"]).astype(bool)
+                all_preds.append(np.asarray(preds)[w])
+                all_tgts.append(np.asarray(batch["label"])[w])
+                if "sample_index" in batch:
+                    all_ids.append(np.asarray(batch["sample_index"])[w])
+        dt = time.time() - t0
+        out = M.metrics_from_confusion(cm)
+        out["loss"] = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        out["samples_per_sec"] = n / dt if dt > 0 else 0.0
+        out["confusion"] = np.asarray(cm)
+        if collect_preds:
+            out["preds"] = np.concatenate(all_preds) if all_preds else np.zeros(0, np.int32)
+            out["targets"] = np.concatenate(all_tgts) if all_tgts else np.zeros(0, np.int32)
+            out["sample_index"] = np.concatenate(all_ids) if all_ids else None
+        return out
+
+    # ------------------------------------------------------------- learning
+
+    def learning(
+        self,
+        train_loader_fn: Callable[[], Iterable[dict]],
+        val_loader_fn: Callable[[], Iterable[dict]],
+        test_loader_fn: Callable[[], Iterable[dict]] | None = None,
+        *,
+        max_epochs: int = 10,
+        resume: bool = False,
+        log_every: int = 0,
+        result_paths: dict | None = None,
+        run_config: dict | None = None,
+    ) -> dict:
+        """Full loop: train/val per epoch, checkpoint + best tracking, then
+        test with the best params (reference ``learning``, ``:315-507``)."""
+        if resume and self.checkpointer is not None and self.checkpointer.latest_step() is not None:
+            self.restore()
+        history = []
+        for epoch in range(self.epoch, max_epochs):
+            self.epoch = epoch
+            tr = self.train_epoch(train_loader_fn(), log_every=log_every)
+            va = self.eval_epoch(val_loader_fn())
+            va.pop("confusion", None)
+            print(
+                f"epoch {epoch}: train loss {tr['loss']:.4f} acc {tr['accuracy']:.4f} "
+                f"({tr['samples_per_sec']:.1f} samples/s) | val loss {va['loss']:.4f} "
+                f"acc {va['accuracy']:.4f} macroF1 {va['macro_f1']:.4f}"
+            )
+            history.append({"epoch": epoch, "train": tr, "val": va})
+            is_best = va["accuracy"] > self.best_score
+            self.best_score = max(self.best_score, va["accuracy"])
+            if self.checkpointer is not None:
+                self.save(metrics={"val_accuracy": va["accuracy"]})
+        result = {"history": history, "best_val_accuracy": self.best_score}
+        if test_loader_fn is not None:
+            if self.checkpointer is not None and self.checkpointer.best_step() is not None:
+                self.restore(self.checkpointer.best_step())
+            te = self.eval_epoch(test_loader_fn(), collect_preds=True)
+            print(
+                f"test: acc {te['accuracy']:.4f} micro {te['micro_f1']:.4f} "
+                f"macro {te['macro_f1']:.4f} weighted {te['weighted_f1']:.4f}"
+            )
+            result["test"] = {k: v for k, v in te.items() if k not in ("confusion",)}
+            if result_paths:
+                self._dump_results(te, result_paths, run_config or {})
+        return result
+
+    def _dump_results(self, te: dict, paths: dict, run_config: dict) -> None:
+        """Reference-style result files (``engine/...:447-507``)."""
+        exp_path = paths.get("experiment")
+        if exp_path:
+            os.makedirs(os.path.dirname(exp_path) or ".", exist_ok=True)
+            with open(exp_path, "a") as f:
+                f.write(f"config: {run_config}\n")
+                f.write(
+                    "acc: {accuracy:.6f} micro_f1: {micro_f1:.6f} macro_f1: "
+                    "{macro_f1:.6f} weighted_f1: {weighted_f1:.6f}\n".format(**te)
+                )
+                f.write(M.classification_report(te["confusion"], paths.get("label_names")) + "\n")
+        pred_path = paths.get("pred")
+        if pred_path and te.get("preds") is not None:
+            os.makedirs(os.path.dirname(pred_path) or ".", exist_ok=True)
+            ids = te.get("sample_index")
+            with open(pred_path, "w") as f:
+                f.write("ID\tTarget\tPred\n")
+                for i in range(len(te["preds"])):
+                    sid = int(ids[i]) if ids is not None else i
+                    f.write(f"{sid}\t{int(te['targets'][i])}\t{int(te['preds'][i])}\n")
+
+    # ---------------------------------------------------------- checkpoints
+
+    def save(self, metrics: dict | None = None) -> None:
+        assert self.checkpointer is not None
+        payload = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "epoch": np.array(self.epoch, np.int32),
+            "best_score": np.array(self.best_score, np.float32),
+        }
+        self.checkpointer.save(int(self.state.step), payload, metrics)
+
+    def restore(self, step: int | None = None) -> None:
+        assert self.checkpointer is not None
+        template = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "epoch": np.array(self.epoch, np.int32),
+            "best_score": np.array(self.best_score, np.float32),
+        }
+        restored = self.checkpointer.restore(step, template)
+        self.state = TrainState(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+            rng=self.state.rng,
+        )
+        self.epoch = int(restored["epoch"]) + 1
+        self.best_score = float(restored["best_score"])

@@ -50,7 +50,6 @@ def mha_init(key: jax.Array, n_head: int, d_model: int, d_k: int, d_v: int, dtyp
         "w_vs": linear_init(k3, d_model, n_head * d_v, w_init=std_v, dtype=dtype),
         "fc": linear_init(k4, n_head * d_v, d_model, w_init="xavier_normal", dtype=dtype),
         "ln": layer_norm_init(d_model, dtype),
-        "meta": {"n_head": n_head, "d_k": d_k, "d_v": d_v},
     }
 
 
@@ -78,6 +77,9 @@ def mha_apply(
     v: jnp.ndarray,
     mask: jnp.ndarray | None = None,
     *,
+    n_head: int,
+    d_k: int,
+    d_v: int,
     dropout_rate: float = 0.1,
     train: bool = False,
     rng: jax.Array | None = None,
@@ -85,10 +87,10 @@ def mha_apply(
     dtype=None,
 ):
     """q [B, Lq, d_model], k/v [B, Lk, d_model], mask [B, Lq, Lk] float
-    (0.0 = masked).  Returns (out [B, Lq, d_model], attn [B, H, Lq, Lk]) or
+    (0.0 = masked).  Head geometry (n_head, d_k, d_v) is static, not stored in
+    the param pytree.  Returns (out [B, Lq, d_model], attn [B, H, Lq, Lk]) or
     (out, attn, head_diff [B]) when ``is_regu``."""
-    meta = p["meta"]
-    H, d_k, d_v = meta["n_head"], meta["d_k"], meta["d_v"]
+    H = n_head
     B, Lq, _ = q.shape
     Lk = k.shape[1]
     rngs = RngStream(rng)
@@ -164,6 +166,8 @@ def my_mha_apply(
     v: jnp.ndarray,
     mask: jnp.ndarray | None = None,
     *,
+    n_head: int,
+    d_kv: int,
     dropout_rate: float = 0.1,
     train: bool = False,
     rng: jax.Array | None = None,
@@ -177,6 +181,7 @@ def my_mha_apply(
     mask3 = mask[:, None, :] if mask is not None else None
     res = mha_apply(
         p["slf_attn"], q3, k, v, mask3,
+        n_head=n_head, d_k=d_kv, d_v=d_kv,
         dropout_rate=dropout_rate, train=train, rng=rngs.next("mha"),
         is_regu=is_regu, dtype=dtype,
     )
@@ -201,7 +206,6 @@ def label_attention_init(
         "w_k": linear_init(k2, image_dim, hid_dim, dtype=dtype),
         "w_v": linear_init(k3, image_dim, hid_dim, dtype=dtype),
         "fc": linear_init(k4, hid_dim, hid_dim, dtype=dtype),
-        "meta": {"num_labels": num_labels},
     }
 
 

@@ -41,17 +41,24 @@ def conv_init(key: jax.Array, kh: int, kw: int, cin: int, cout: int, dtype=jnp.f
 
 
 def conv_apply(p: dict, x: jnp.ndarray, stride: int = 1, padding="SAME", dtype=None) -> jnp.ndarray:
+    """Convolution in ``dtype`` (bf16 under the mixed-precision policy).
+
+    No ``preferred_element_type`` override: the TPU MXU accumulates bf16
+    operands in f32 natively, and a f32 preference with bf16 operands makes
+    the conv VJP emit mismatched-dtype cotangents (f32 vs bf16 weights).
+    """
     w = p["w"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
+    else:
+        w = w.astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def bn_init(c: int, dtype=jnp.float32) -> tuple[dict, dict]:

@@ -53,7 +53,8 @@ def test_mha_matches_oracle(rng, with_mask):
         mask = (rng.uniform(size=(B, Lq, Lk)) > 0.3).astype(np.float32)
         mask[:, :, 0] = 1.0  # keep at least one valid key
     out, a = attn.mha_apply(p, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                            jnp.asarray(mask) if mask is not None else None, train=False)
+                            jnp.asarray(mask) if mask is not None else None,
+                            n_head=H, d_k=dk, d_v=dk, train=False)
     oracle = torch_mha_oracle(p, q, k, v, mask, H, dk, dk)
     np.testing.assert_allclose(np.asarray(out), oracle.numpy(), atol=2e-5)
 
@@ -94,9 +95,9 @@ def test_my_mha_shapes(rng):
     q = jnp.asarray(rng.standard_normal((B, dm)).astype(np.float32))
     kv = jnp.asarray(rng.standard_normal((B, L, dm)).astype(np.float32))
     mask = jnp.ones((B, L), jnp.float32)
-    out, a = attn.my_mha_apply(p, q, kv, kv, mask, train=False)
+    out, a = attn.my_mha_apply(p, q, kv, kv, mask, n_head=4, d_kv=128, train=False)
     assert out.shape == (B, dm)
-    out2, a2, hd = attn.my_mha_apply(p, q, kv, kv, mask, train=False, is_regu=True)
+    out2, a2, hd = attn.my_mha_apply(p, q, kv, kv, mask, n_head=4, d_kv=128, train=False, is_regu=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
     assert hd.shape == (B,)
 

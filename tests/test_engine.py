@@ -1,0 +1,218 @@
+"""Engine tests: metrics vs sklearn, optimizer groups, end-to-end overfit,
+checkpoint roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mgnns_tpu.engine import metrics as M
+from mgnns_tpu.engine.optim import make_optimizer, label_params
+from mgnns_tpu.engine.train import Engine, cross_entropy
+from mgnns_tpu.graphs import build_vocab, cal_pmi
+from mgnns_tpu.graphs.pmi import doc_window_edge_ids
+from mgnns_tpu.graphs.vocab import make_word_to_id, words_to_ids
+from mgnns_tpu.models import text_model_init, text_model_apply
+
+
+def test_metrics_match_sklearn(rng):
+    from sklearn.metrics import accuracy_score, f1_score
+
+    y_true = rng.integers(0, 5, 200)
+    y_pred = rng.integers(0, 5, 200)
+    cm = M.confusion_init(5)
+    cm = M.confusion_update(cm, jnp.asarray(y_pred), jnp.asarray(y_true))
+    out = M.metrics_from_confusion(cm)
+    assert out["accuracy"] == pytest.approx(accuracy_score(y_true, y_pred))
+    assert out["micro_f1"] == pytest.approx(f1_score(y_true, y_pred, average="micro"))
+    assert out["macro_f1"] == pytest.approx(f1_score(y_true, y_pred, average="macro"))
+    assert out["weighted_f1"] == pytest.approx(f1_score(y_true, y_pred, average="weighted"))
+
+
+def test_metrics_weights_mask_padding(rng):
+    y_true = jnp.asarray([0, 1, 2, 0])
+    y_pred = jnp.asarray([0, 1, 0, 2])
+    w = jnp.asarray([1, 1, 1, 0])
+    cm = M.confusion_update(M.confusion_init(3), y_pred, y_true, w)
+    assert int(np.asarray(cm).sum()) == 3
+    assert M.metrics_from_confusion(cm)["accuracy"] == pytest.approx(2 / 3)
+
+
+def test_classification_report_runs(rng):
+    cm = np.array([[5, 1], [2, 7]])
+    rep = M.classification_report(cm, ["neg", "pos"])
+    assert "precision" in rep and "neg" in rep and "weighted avg" in rep
+
+
+def _toy_params():
+    return {
+        "text_gcn": {"node_embedding": jnp.ones((4, 3)), "edge_weight": jnp.ones((5, 1))},
+        "lstm": {"w": jnp.ones((2, 2))},
+        "object_trunk": {"w": jnp.ones((2,))},
+        "place_trunk": {"w": jnp.ones((2,))},
+        "gc1": {"w": jnp.ones((2,))},
+        "multi_linear_1": {"w": jnp.ones((2,))},
+        "object_A": jnp.ones((2, 2)),
+    }
+
+
+def test_label_params_groups():
+    p = _toy_params()
+    lbl = label_params(p, faithful=False)
+    assert lbl["text_gcn"]["node_embedding"] == "text"
+    assert lbl["lstm"]["w"] == "lstm"
+    assert lbl["object_trunk"]["w"] == "trunk"
+    assert lbl["gc1"]["w"] == "base"
+    assert lbl["multi_linear_1"]["w"] == "base"
+    assert lbl["object_A"] == "frozen"
+    lbl_f = label_params(p, faithful=True)
+    assert lbl_f["multi_linear_1"]["w"] == "frozen"  # unlisted in get_config_optim
+
+
+def test_optimizer_group_multipliers():
+    p = _toy_params()
+    tx = make_optimizer(p, lr=1e-2, lrp=0.1, weight_decay=0.0, grad_clip=1e9,
+                        steps_per_epoch=10, epoch_step=(100,), faithful=False)
+    opt_state = tx.init(p)
+    g = jax.tree_util.tree_map(jnp.ones_like, p)
+    updates, _ = tx.update(g, opt_state, p)
+    # after one Adam step with unit grads, |update| = lr * multiplier (approx)
+    base = float(np.abs(np.asarray(updates["gc1"]["w"])).mean())
+    text = float(np.abs(np.asarray(updates["text_gcn"]["node_embedding"])).mean())
+    trunk = float(np.abs(np.asarray(updates["object_trunk"]["w"])).mean())
+    frozen = float(np.abs(np.asarray(updates["object_A"])).mean())
+    assert text == pytest.approx(10 * base, rel=1e-4)
+    assert trunk == pytest.approx(0.1 * base, rel=1e-4)
+    assert frozen == 0.0
+
+
+def test_lr_schedule_decay():
+    p = _toy_params()
+    tx = make_optimizer(p, lr=1e-2, weight_decay=0.0, grad_clip=1e9,
+                        steps_per_epoch=2, epoch_step=(1,), lr_decay=0.2)
+    s = tx.init(p)
+    g = jax.tree_util.tree_map(jnp.ones_like, p)
+    u0, s = tx.update(g, s, p)   # step 0, epoch 0
+    u1, s = tx.update(g, s, p)   # step 1, epoch 0
+    u2, s = tx.update(g, s, p)   # step 2, epoch 1 -> decayed
+    a0 = float(np.abs(np.asarray(u0["gc1"]["w"])).mean())
+    a2 = float(np.abs(np.asarray(u2["gc1"]["w"])).mean())
+    assert a2 == pytest.approx(0.2 * a0, rel=1e-3)
+
+
+CORPUS = [
+    ("happy joy smile great day", 0),
+    ("sad cry tears bad day", 1),
+    ("joy smile happy fun", 0),
+    ("cry bad sad terrible", 1),
+    ("great fun smile joy", 0),
+    ("terrible tears bad cry", 1),
+]
+
+
+def _text_batches(batch_size=3, L=8, ngram=2):
+    texts = [t for t, _ in CORPUS]
+    labels = np.array([l for _, l in CORPUS], np.int32)
+    vocab = build_vocab(texts, 1)
+    graph = cal_pmi(texts, vocab, 3, 1, max_len=L)
+    w2i = make_word_to_id(vocab)
+    ids = np.zeros((len(texts), L), np.int32)
+    lens = np.zeros((len(texts),), np.int32)
+    for n, t in enumerate(texts):
+        toks = words_to_ids(t.split(" "), w2i)
+        ids[n, : len(toks)] = toks
+        lens[n] = len(toks)
+    eids = doc_window_edge_ids(ids, lens, ngram, graph)
+
+    def loader():
+        for i in range(0, len(texts), batch_size):
+            sl = slice(i, i + batch_size)
+            yield {
+                "ids": jnp.asarray(ids[sl]),
+                "lens": jnp.asarray(lens[sl]),
+                "eids": jnp.asarray(eids[sl]),
+                "label": jnp.asarray(labels[sl]),
+                "weight": jnp.ones((min(batch_size, len(texts) - i),), jnp.float32),
+                "sample_index": jnp.arange(i, min(i + batch_size, len(texts))),
+            }
+
+    return vocab, graph, loader
+
+
+def _make_engine(tmp_path=None, **kw):
+    vocab, graph, loader = _text_batches()
+    params = text_model_init(jax.random.key(0), len(vocab), 2, graph.num_edges)
+
+    def apply_fn(p, bs, batch, *, train, rng):
+        logits = text_model_apply(p, batch, ngram=2, train=train, rng=rng,
+                                  dropout_rate=0.0)
+        return logits, bs
+
+    eng = Engine(
+        apply_fn, params, {}, num_classes=2, lr=5e-2, steps_per_epoch=2,
+        epoch_step=(1000,),
+        checkpoint_dir=str(tmp_path) if tmp_path is not None else None, **kw
+    )
+    return eng, loader
+
+
+def test_engine_overfits_toy_corpus():
+    eng, loader = _make_engine()
+    first = eng.train_epoch(loader())
+    for _ in range(30):
+        last = eng.train_epoch(loader())
+    assert last["loss"] < first["loss"]
+    assert last["accuracy"] == 1.0
+    ev = eng.eval_epoch(loader(), collect_preds=True)
+    assert ev["accuracy"] == 1.0
+    assert len(ev["preds"]) == 6
+    np.testing.assert_array_equal(ev["sample_index"], np.arange(6))
+
+
+def test_engine_checkpoint_roundtrip(tmp_path):
+    eng, loader = _make_engine(tmp_path / "ckpt")
+    for _ in range(3):
+        eng.train_epoch(loader())
+    eng.epoch = 2
+    eng.best_score = 0.75
+    eng.save(metrics={"val_accuracy": 0.75})
+    step_before = int(eng.state.step)
+    params_before = jax.tree_util.tree_map(np.asarray, eng.state.params)
+
+    eng2, _ = _make_engine(tmp_path / "ckpt")
+    eng2.restore()
+    assert int(eng2.state.step) == step_before
+    assert eng2.epoch == 3  # resumes at next epoch
+    assert eng2.best_score == pytest.approx(0.75)
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(eng2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_learning_loop_and_result_files(tmp_path):
+    eng, loader = _make_engine(tmp_path / "ckpt")
+    res = eng.learning(
+        loader, loader, loader,
+        max_epochs=3,
+        result_paths={
+            "experiment": str(tmp_path / "exp" / "result.txt"),
+            "pred": str(tmp_path / "pred" / "pred.txt"),
+            "label_names": ["pos", "neg"],
+        },
+        run_config={"lr": 5e-2},
+    )
+    assert len(res["history"]) == 3
+    assert "test" in res
+    exp = (tmp_path / "exp" / "result.txt").read_text()
+    assert "acc:" in exp and "weighted avg" in exp
+    pred = (tmp_path / "pred" / "pred.txt").read_text().strip().split("\n")
+    assert pred[0] == "ID\tTarget\tPred" and len(pred) == 7
+
+
+def test_cross_entropy_weighted():
+    logits = jnp.asarray([[10.0, 0.0], [0.0, 10.0], [10.0, 0.0]])
+    labels = jnp.asarray([0, 1, 1])
+    w_all = jnp.asarray([1.0, 1.0, 1.0])
+    w_mask = jnp.asarray([1.0, 1.0, 0.0])
+    assert float(cross_entropy(logits, labels, w_mask)) < 1e-3
+    assert float(cross_entropy(logits, labels, w_all)) > 1.0
