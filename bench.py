@@ -1,0 +1,113 @@
+"""End-to-end benchmark: full-MGNNS eval samples/sec/chip on TumEmo.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+What is measured: the complete inference pipeline on real TumEmo val text —
+host batch assembly (text tensors + image decode via the threaded
+DeviceLoader) + jitted full fusion forward (text-GCN + BiLSTM + ResNet-101 +
+Places-ResNet-50 + image GCNs + label attention + 4-way cross-modal fusion)
+at the reference's canonical image size 448, bf16 compute.  Image bytes are
+synthetic (the reference checkout ships no image files) but full-size, so
+decode/normalize/H2D cost is included.
+
+Baseline: ``bench_baseline.json`` (reference-CPU torch forward of the two
+ResNet trunks — see tools/calibrate_baseline.py; biased in the baseline's
+favor).
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from mgnns_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mgnns_tpu.config import DataConfig, ModelConfig, TextGraphConfig
+    from mgnns_tpu.data.dataset import TumblrDataset, load_constants
+    from mgnns_tpu.data.loader import DeviceLoader
+    from mgnns_tpu.data.text import build_text_side, read_anno
+    from mgnns_tpu.models import mgnns_apply
+    from mgnns_tpu.models.mgnns import mgnns_init_jitted
+
+    ref = os.environ.get("MGNNS_DATA", "/root/reference/data")
+    batch_size = int(os.environ.get("MGNNS_BENCH_BATCH", "32"))
+    n_samples = int(os.environ.get("MGNNS_BENCH_SAMPLES", "512"))
+
+    graph_cfg = TextGraphConfig()
+    data_cfg = DataConfig(
+        data_root_path=ref,
+        object_inp_name=f"{ref}/glove/object_glove_word2vec.pkl",
+        place_inp_name=f"{ref}/glove/place_glove_word2vec.pkl",
+        label_glove_name=f"{ref}/tumblr_label_glove.pkl",
+        object_adj_file=f"{ref}/adj/tumblr_objects_adj.pkl",
+        place_adj_file=f"{ref}/adj/tumblr_resnet50_places_adj.pkl",
+        image_backend="synthetic",
+    )
+    vocab, graph, _ = build_text_side(ref, graph_cfg, [], pmi_phase="val")
+    records = read_anno(ref, "val")[:n_samples]
+    ds = TumblrDataset(data_cfg, graph_cfg, "val", vocab, graph,
+                       image_size=448, records=records)
+    consts_np = load_constants(data_cfg, object_t=0.4, place_t=0.3)
+
+    cfg = ModelConfig(vocab_size=len(vocab), edges_num=graph.num_edges,
+                      compute_dtype="bfloat16")
+    params, bstats, consts = mgnns_init_jitted(
+        jax.random.key(0), cfg, num_edges=graph.num_edges,
+        label_embedding=consts_np["label_embedding"],
+        object_A=consts_np["object_A"], place_A=consts_np["place_A"],
+    )
+    object_inp = jax.device_put(consts_np["object_inp"])
+    place_inp = jax.device_put(consts_np["place_inp"])
+
+    @jax.jit
+    def eval_step(p, bs, batch):
+        full = dict(batch)
+        full["object_inp"] = object_inp
+        full["place_inp"] = place_inp
+        logits, _, _ = mgnns_apply(p, bs, consts, full, cfg=cfg, train=False)
+        return jax.numpy.argmax(logits, axis=-1)
+
+    def run_epoch():
+        n = 0
+        loader = DeviceLoader(ds, batch_size, shuffle=False, num_threads=8)
+        preds = None
+        for batch in loader:
+            b = {k: batch[k] for k in ("ids", "lens", "mask", "eids", "image")}
+            preds = eval_step(params, bstats, b)
+            n += int(np.asarray(batch["weight"]).sum())
+        jax.block_until_ready(preds)
+        return n
+
+    run_epoch()  # warmup: compile + loader spin-up
+    t0 = time.time()
+    n = run_epoch()
+    dt = time.time() - t0
+    sps = n / dt
+
+    baseline_path = os.path.join(ROOT, "bench_baseline.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)["reference_cpu_samples_per_sec"]
+        vs = sps / base
+
+    print(json.dumps({
+        "metric": "mgnns_eval_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Training/eval CLI, mirroring the reference's argparse surface.
+
+Reference: ``Tumblr_Multi_GCN_Multihead_Att.py:12-204`` (``main_MVSA``).  Flags
+keep the reference's names (underscores accepted for dashed variants) plus
+TPU-specific additions: ``--text_only``, ``--pmi_phase``, ``--compute_dtype``,
+``--mesh_data/--mesh_model``, ``--image_backend``, ``--use_pallas``.
+
+Example (text-only slice on the checked-in val/test splits):
+
+    python -m mgnns_tpu.cli.main --data_root_path /root/reference/data \
+        --pmi_phase val --train_phase val --text_only --epochs 2 -b 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MGNNS-TPU training")
+    # reference flags (Tumblr_...py:12-81)
+    p.add_argument("--dataset", type=str, default="tumblr")
+    p.add_argument("--data_root_path", type=str, default="data")
+    p.add_argument("--bidirectional", type=bool, default=True)
+    p.add_argument("--hidden_size", type=int, default=150)
+    p.add_argument("--emb_size", type=int, default=300)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("-dropout", "--dropout", type=float, default=0.5)
+    p.add_argument("-emb_type", "--emb_type", type=str, default="glove",
+                   choices=["random", "glove", "glove200d", "glove300d", "fasttext300d"])
+    p.add_argument("--stack_num", type=int, default=2)
+    p.add_argument("--n_head", type=int, default=4)
+    p.add_argument("--d_kv", type=int, default=128)
+    p.add_argument("--is_regu", type=bool, default=False)
+    p.add_argument("--text_min_count", type=int, default=5)
+    p.add_argument("--window_size", type=int, default=6)
+    p.add_argument("--ngram", type=int, default=4)
+    p.add_argument("--min_cooccurence", type=int, default=2)
+    p.add_argument("--image-size", "-i", dest="image_size", type=int, default=448)
+    p.add_argument("-j", "--workers", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--epoch_step", type=int, nargs="+", default=[10])
+    p.add_argument("--device_ids", type=int, nargs="+", default=[0])
+    p.add_argument("--start-epoch", dest="start_epoch", type=int, default=0)
+    p.add_argument("-b", "--batch-size", dest="batch_size", type=int, default=16)
+    p.add_argument("--lr", "--learning-rate", dest="lr", type=float, default=5e-5)
+    p.add_argument("--lrp", "--learning-rate-pretrained", dest="lrp", type=float, default=0.1)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", "--wd", dest="weight_decay", type=float, default=1e-5)
+    p.add_argument("--print-freq", "-p", dest="print_freq", type=int, default=10)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("-e", "--evaluate", action="store_true")
+    p.add_argument("--save_experiment_result_path", type=str, default="result/experiment_result")
+    p.add_argument("--save_pred_result_path", type=str, default="result/pred_result")
+    p.add_argument("--model_name", type=str, default="mgnns_tpu")
+    p.add_argument("--save_model_path", type=str, default="checkpoint")
+    p.add_argument("--object_t_value", type=float, default=0.4)
+    p.add_argument("--place_t_value", type=float, default=0.3)
+    p.add_argument("--num_labels", type=int, default=7)
+    p.add_argument("--object_num_classes", type=int, default=80)
+    p.add_argument("--place_num_classes", type=int, default=365)
+    p.add_argument("--accumulation_steps", type=int, default=8)
+    p.add_argument("--fp16", action="store_true",
+                   help="alias for --compute_dtype bfloat16 on TPU")
+    p.add_argument("--fp16_opt_level", type=str, default="O1")
+    # TPU-native additions
+    p.add_argument("--text_only", action="store_true", help="train the text-only slice")
+    p.add_argument("--pmi_phase", type=str, default="train",
+                   help="split whose texts build the PMI graph")
+    p.add_argument("--train_phase", type=str, default="train")
+    p.add_argument("--val_phase", type=str, default="val")
+    p.add_argument("--test_phase", type=str, default="test")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--image_backend", type=str, default="synthetic", choices=["pil", "synthetic"])
+    p.add_argument("--image_root", type=str, default=".")
+    p.add_argument("--mesh_data", type=int, default=1, help="data-parallel mesh axis size")
+    p.add_argument("--mesh_model", type=int, default=1, help="model-parallel mesh axis size")
+    p.add_argument("--use_pallas", action="store_true", help="use Pallas text-GCN kernel")
+    p.add_argument("--faithful_param_groups", action="store_true")
+    p.add_argument("--limit_samples", type=int, default=0,
+                   help="truncate each split (debug/smoke)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_to_keep", type=int, default=3)
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    from mgnns_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    from mgnns_tpu.config import DataConfig, ModelConfig, TextGraphConfig
+    from mgnns_tpu.data.dataset import TumblrDataset, load_constants
+    from mgnns_tpu.data.loader import DeviceLoader
+    from mgnns_tpu.data.text import build_text_side, read_anno
+    from mgnns_tpu.engine.train import Engine
+
+    graph_cfg = TextGraphConfig(
+        text_min_count=args.text_min_count, window_size=args.window_size,
+        ngram=args.ngram, min_cooccurrence=args.min_cooccurence,
+    )
+    data_cfg = DataConfig(
+        data_root_path=args.data_root_path, dataset=args.dataset,
+        object_inp_name=os.path.join(args.data_root_path, "glove/object_glove_word2vec.pkl"),
+        place_inp_name=os.path.join(args.data_root_path, "glove/place_glove_word2vec.pkl"),
+        label_glove_name=os.path.join(args.data_root_path, "tumblr_label_glove.pkl"),
+        object_adj_file=os.path.join(args.data_root_path, "adj/tumblr_objects_adj.pkl"),
+        place_adj_file=os.path.join(args.data_root_path, "adj/tumblr_resnet50_places_adj.pkl"),
+        image_root=args.image_root, image_backend=args.image_backend,
+    )
+
+    phases = sorted({args.train_phase, args.val_phase, args.test_phase})
+    vocab, graph, _ = build_text_side(args.data_root_path, graph_cfg, [], pmi_phase=args.pmi_phase)
+    print(f"vocab={len(vocab)} pmi_edges={graph.num_edges - 1}")
+
+    def make_ds(phase, train):
+        records = read_anno(args.data_root_path, phase)
+        if args.limit_samples:
+            records = records[: args.limit_samples]
+        return TumblrDataset(
+            data_cfg, graph_cfg, phase, vocab, graph,
+            image_size=args.image_size, train_transforms=train, records=records,
+        )
+
+    train_ds = make_ds(args.train_phase, True)
+    val_ds = make_ds(args.val_phase, False)
+    test_ds = make_ds(args.test_phase, False)
+
+    compute_dtype = "bfloat16" if args.fp16 else args.compute_dtype
+    model_cfg = ModelConfig(
+        num_labels=args.num_labels, vocab_size=len(vocab), emb_size=args.emb_size,
+        hidden_size=args.hidden_size, num_layers=args.num_layers,
+        bidirectional=args.bidirectional, dropout=args.dropout,
+        stack_num=args.stack_num, n_head=args.n_head, d_kv=args.d_kv,
+        is_regu=args.is_regu, object_num_classes=args.object_num_classes,
+        place_num_classes=args.place_num_classes, object_t=args.object_t_value,
+        place_t=args.place_t_value, image_size=args.image_size,
+        edges_num=graph.num_edges, compute_dtype=compute_dtype,
+    )
+
+    mesh = None
+    rules = None
+    if args.mesh_data * args.mesh_model > 1:
+        from mgnns_tpu.parallel.mesh import create_mesh
+        from mgnns_tpu.parallel.sharding import mgnns_param_rules
+
+        mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
+        rules = mgnns_param_rules()
+
+    key = jax.random.key(args.seed)
+    with_images = not args.text_only
+    if args.text_only:
+        from mgnns_tpu.models import text_model_apply, text_model_init
+
+        params = text_model_init(key, len(vocab), args.num_labels, graph.num_edges)
+        batch_stats = {}
+
+        def apply_fn(p, bs, batch, *, train, rng):
+            logits = text_model_apply(
+                p, batch, ngram=graph_cfg.ngram, dropout_rate=args.dropout,
+                train=train, rng=rng, use_pallas=args.use_pallas,
+            )
+            return logits, bs
+    else:
+        from mgnns_tpu.models import mgnns_apply
+        from mgnns_tpu.models.mgnns import mgnns_init_jitted
+
+        consts_np = load_constants(
+            data_cfg, object_t=args.object_t_value, place_t=args.place_t_value
+        )
+        params, batch_stats, consts = mgnns_init_jitted(
+            key, model_cfg, num_edges=graph.num_edges,
+            label_embedding=consts_np["label_embedding"],
+            object_A=consts_np["object_A"], place_A=consts_np["place_A"],
+        )
+        object_inp = jax.device_put(consts_np["object_inp"])
+        place_inp = jax.device_put(consts_np["place_inp"])
+
+        def apply_fn(p, bs, batch, *, train, rng):
+            full = dict(batch)
+            full["object_inp"] = object_inp
+            full["place_inp"] = place_inp
+            logits, new_bs, _ = mgnns_apply(
+                p, bs, consts, full, cfg=model_cfg, train=train, rng=rng,
+                use_pallas=args.use_pallas,
+            )
+            return logits, new_bs
+
+    steps_per_epoch = max(1, len(train_ds) // args.batch_size)
+    engine = Engine(
+        apply_fn, params, batch_stats,
+        num_classes=args.num_labels, lr=args.lr, lrp=args.lrp,
+        weight_decay=args.weight_decay, steps_per_epoch=steps_per_epoch,
+        epoch_step=args.epoch_step, faithful_param_groups=args.faithful_param_groups,
+        seed=args.seed,
+        checkpoint_dir=os.path.join(args.save_model_path, args.model_name),
+        max_to_keep=args.max_to_keep, mesh=mesh, param_sharding_rules=rules,
+    )
+
+    device_put = None
+    if mesh is not None:
+        from mgnns_tpu.parallel.mesh import batch_device_put
+
+        device_put = lambda b: batch_device_put(b, mesh)
+
+    def loader(ds, shuffle):
+        return lambda: DeviceLoader(
+            ds, args.batch_size, shuffle=shuffle, seed=args.seed,
+            num_threads=args.workers, with_images=with_images,
+            device_put=device_put,
+        )
+
+    run_config = {
+        "text_min_count": args.text_min_count, "ngram": args.ngram,
+        "window_size": args.window_size, "object_t": args.object_t_value,
+        "place_t": args.place_t_value, "batch_size": args.batch_size, "lr": args.lr,
+    }
+    tag = (f"text_min_count_{args.text_min_count}_ngram_{args.ngram}"
+           f"_window_{args.window_size}_bts_{args.batch_size}.txt")
+    result_paths = {
+        "experiment": os.path.join(args.save_experiment_result_path, args.model_name, tag),
+        "pred": os.path.join(args.save_pred_result_path, args.model_name, tag),
+        "label_names": list(json.load(open(os.path.join(args.data_root_path, "label.json")))),
+    }
+
+    if args.evaluate:
+        res = engine.learning(
+            loader(train_ds, True), loader(val_ds, False), loader(test_ds, False),
+            max_epochs=args.epochs, resume=args.resume is not None,
+            log_every=args.print_freq, result_paths=result_paths, run_config=run_config,
+        )
+    else:
+        res = engine.learning(
+            loader(train_ds, True), loader(val_ds, False), None,
+            max_epochs=args.epochs, resume=args.resume is not None,
+            log_every=args.print_freq,
+        )
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Device loader: threaded image decode + static-shape batches + prefetch.
+
+TPU-native replacement for the reference's ``torch.utils.data.DataLoader``
+workers (``engine/...:329-342``).  Design:
+
+- text tensors are sliced from the split's prebuilt arrays (zero per-item
+  Python);
+- image decode runs in a thread pool overlapping device execution;
+- every batch has the same static shape: the final ragged batch is padded
+  and masked via ``weight`` (so jit compiles exactly one program);
+- batches are placed on device asynchronously (``jax.device_put``) one step
+  ahead of consumption (double buffering).
+"""
+
+from __future__ import annotations
+
+import random
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from mgnns_tpu.data.dataset import TumblrDataset
+
+
+class DeviceLoader:
+    def __init__(
+        self,
+        dataset: TumblrDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_threads: int = 8,
+        with_images: bool = True,
+        device_put=None,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.num_threads = num_threads
+        self.with_images = with_images
+        # hook for sharded placement (parallel.mesh.batch_device_put)
+        self._device_put = device_put or jax.device_put
+
+    def __len__(self) -> int:
+        return (len(self.ds) + self.batch_size - 1) // self.batch_size
+
+    def _assemble(self, idx: np.ndarray, pool: ThreadPoolExecutor | None, rng: random.Random):
+        B = self.batch_size
+        n = len(idx)
+        pad = B - n
+        full_idx = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
+        t = self.ds.text
+        batch = {
+            "ids": t.ids[full_idx],
+            "lens": t.lens[full_idx],
+            "mask": t.mask[full_idx],
+            "eids": t.eids[full_idx],
+            "label": self.ds.labels[full_idx],
+            "weight": (np.arange(B) < n).astype(np.float32),
+            "sample_index": full_idx.astype(np.int32),
+        }
+        if self.with_images:
+            seeds = [random.Random(rng.getrandbits(32)) for _ in full_idx]
+            if pool is not None:
+                imgs = list(pool.map(self.ds.load_image, full_idx, seeds))
+            else:
+                imgs = [self.ds.load_image(i, r) for i, r in zip(full_idx, seeds)]
+            batch["image"] = np.stack(imgs)
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        """Producer-thread iteration: batch assembly + H2D placement run on a
+        background thread feeding a bounded queue, fully overlapping host
+        work with device execution on the consumer side."""
+        import queue
+        import threading
+
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        rng = random.Random(self.seed + self.epoch)
+        chunks = [order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)]
+
+        q: queue.Queue = queue.Queue(maxsize=3)
+        stop = threading.Event()
+
+        def produce():
+            # Host-side work only: JAX dispatch is not thread-safe against the
+            # consumer's jitted execution (deadlocks observed over the axon
+            # tunnel), so device placement happens on the consumer thread.
+            pool = ThreadPoolExecutor(self.num_threads) if self.with_images else None
+            try:
+                for chunk in chunks:
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble(chunk, pool, rng))
+                q.put(None)
+            except BaseException as e:  # surface producer errors to consumer
+                q.put(e)
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False, cancel_futures=True)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield self._device_put(item)
+        finally:
+            stop.set()

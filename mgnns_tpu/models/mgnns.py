@@ -45,6 +45,23 @@ from mgnns_tpu.graphs.cooccur import gen_adj
 from mgnns_tpu.nn import attention, image_gcn, lstm, resnet, text_gcn
 from mgnns_tpu.nn.core import RngStream, dropout, embedding_init, linear_apply, linear_init
 
+# ImageNet statistics (reference Multi_GCN_Multihead_att.py:350-351)
+_IMAGE_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGE_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize_image_batch(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """On-device ImageNet normalization for raw uint8 pixels.
+
+    The host pipeline ships uint8 (4x fewer H2D bytes); float inputs are
+    assumed already normalized (test/compat path) and pass through.
+    """
+    if x.dtype == jnp.uint8:
+        scale = (1.0 / (255.0 * _IMAGE_STD)).astype(np.float32)
+        bias = (-_IMAGE_MEAN / _IMAGE_STD).astype(np.float32)
+        return x.astype(dtype) * scale.astype(dtype) + bias.astype(dtype)
+    return x
+
 
 def mgnns_init(
     key: jax.Array,
@@ -130,6 +147,17 @@ def mgnns_init(
 
     consts = {"label_query": jnp.asarray(label_embedding, jnp.float32)}
     return p, s, consts
+
+
+def mgnns_init_jitted(key: jax.Array, cfg: ModelConfig, **kw) -> tuple[dict, dict, dict]:
+    """:func:`mgnns_init` compiled as ONE program.
+
+    Eager init dispatches thousands of small device ops; on a remote/tunneled
+    device each costs a round trip (~80 ms observed), turning init into
+    minutes.  Tracing the whole init into a single jitted executable makes it
+    one compile + one dispatch.
+    """
+    return jax.jit(lambda k: mgnns_init(k, cfg, **kw))(key)
 
 
 def _image_channel(
@@ -230,6 +258,8 @@ def mgnns_apply(
     aux["text_final_state"] = jnp.concatenate([h_final[-1], h_final[-2]], axis=-1)
 
     # ---- image channels ---------------------------------------------------
+    batch = dict(batch)
+    batch["image"] = normalize_image_batch(batch["image"], cfg.cdtype)
     img_object_memory_bank, object_x_attention, new_state["object_trunk"] = _image_channel(
         params["object_trunk"], state["object_trunk"], params["liner_img_object"],
         params["gc1"], params["gc2"], params["object_A"], batch["object_inp"],

@@ -9,8 +9,8 @@ is the [B, H/32, W/32, 2048] feature map.
 Design notes (TPU-first):
 - NHWC layout end to end (XLA's preferred TPU conv layout).
 - Convolutions run in the configured compute dtype (bf16 by default in the
-  mixed-precision policy) with f32 parameters, accumulation via
-  ``preferred_element_type=f32``.
+  mixed-precision policy) with f32 master parameters; the MXU accumulates
+  bf16 operands in f32 natively.
 - BatchNorm supports torch-faithful train-mode statistics ('batch': batch
   stats for normalization + running-stat updates with unbiased variance,
   momentum 0.1) and frozen inference stats ('frozen').
@@ -153,6 +153,24 @@ def _bottleneck_apply(p, s, x, stride, *, train, dtype):
 # full trunk
 
 
+def _stack_trees(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _layer_dict(blocks_p, blocks_s):
+    """Stage layout: the first block (stride / channel change, has the
+    downsample path) stays standalone; the remaining blocks are homogeneous
+    and stored stacked so the apply can ``lax.scan`` over them — one compiled
+    block body per stage instead of 23 copies in layer3 of ResNet-101, which
+    cuts full-model XLA compile time by an order of magnitude."""
+    p = {"first": blocks_p[0]}
+    s = {"first": blocks_s[0]}
+    if len(blocks_p) > 1:
+        p["rest"] = _stack_trees(blocks_p[1:])
+        s["rest"] = _stack_trees(blocks_s[1:])
+    return p, s
+
+
 def resnet_init(key: jax.Array, depth: int = 50, in_chans: int = 3, dtype=jnp.float32) -> tuple[dict, dict]:
     """Returns (params, batch_stats) for the trunk of ResNet-{depth}."""
     layers = RESNET_LAYERS[depth]
@@ -170,8 +188,7 @@ def resnet_init(key: jax.Array, depth: int = 50, in_chans: int = 3, dtype=jnp.fl
             bp.append(pb)
             bs.append(sb)
             cin = width * EXPANSION
-        p[f"layer{li}"] = bp
-        s[f"layer{li}"] = bs
+        p[f"layer{li}"], s[f"layer{li}"] = _layer_dict(bp, bs)
     return p, s
 
 
@@ -192,15 +209,19 @@ def resnet_apply(
     out, ns["bn1"] = bn_apply(params["bn1"], state["bn1"], out, train=train)
     out = jax.nn.relu(out)
     out = max_pool(out, 3, 2, 1)
-    for li, blocks in enumerate(layers, start=1):
-        ns_layer = []
-        for b in range(blocks):
-            stride = 2 if (b == 0 and li > 1) else 1
-            out, nsb = _bottleneck_apply(
-                params[f"layer{li}"][b], state[f"layer{li}"][b], out, stride,
-                train=train, dtype=dtype,
-            )
-            ns_layer.append(nsb)
+    for li in range(1, len(layers) + 1):
+        lp, ls = params[f"layer{li}"], state[f"layer{li}"]
+        stride = 1 if li == 1 else 2
+        out, ns_first = _bottleneck_apply(lp["first"], ls["first"], out, stride,
+                                          train=train, dtype=dtype)
+        ns_layer = {"first": ns_first}
+        if "rest" in lp:
+            def body(x_carry, ps):
+                pb, sb = ps
+                y, nsb = _bottleneck_apply(pb, sb, x_carry, 1, train=train, dtype=dtype)
+                return y, nsb
+
+            out, ns_layer["rest"] = jax.lax.scan(body, out, (lp["rest"], ls["rest"]))
         ns[f"layer{li}"] = ns_layer
     return out, ns
 
@@ -254,6 +275,5 @@ def import_torch_state_dict(state_dict: dict, depth: int) -> tuple[dict, dict]:
                 pb["downsample_bn"], sb["downsample_bn"] = bn(f"{pre}.downsample.1")
             bp.append(pb)
             bs.append(sb)
-        p[f"layer{li}"] = bp
-        s[f"layer{li}"] = bs
+        p[f"layer{li}"], s[f"layer{li}"] = _layer_dict(bp, bs)
     return p, s

@@ -135,7 +135,9 @@ def text_gcn_apply(
     if use_pallas:
         from mgnns_tpu.kernels.edge_max import window_max_aggregate_pallas
 
-        m = window_max_aggregate_pallas(emb, w, lens, ngram)
+        # interpreter mode off-TPU (CPU tests); compiled Mosaic kernel on TPU
+        interpret = jax.default_backend() == "cpu"
+        m = window_max_aggregate_pallas(emb, w, lens, ngram, interpret)
     else:
         m = window_max_aggregate(emb, w, lens, ngram)
     h = unique_word_readout(m, ids, lens)            # [B, D]

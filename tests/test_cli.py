@@ -1,0 +1,73 @@
+"""CLI smoke tests (text-only path; CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/data"
+pytestmark = pytest.mark.skipif(not os.path.exists(REF), reason="reference data unavailable")
+
+
+def test_cli_text_only_end_to_end(tmp_path):
+    from mgnns_tpu.cli.main import main
+
+    res = main([
+        "--data_root_path", REF, "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val", "--test_phase", "test",
+        "--text_only", "--epochs", "1", "-b", "32", "--limit_samples", "64",
+        "--lr", "1e-3", "-e",
+        "--save_model_path", str(tmp_path / "ckpt"),
+        "--save_experiment_result_path", str(tmp_path / "exp"),
+        "--save_pred_result_path", str(tmp_path / "pred"),
+    ])
+    assert len(res["history"]) == 1
+    assert "test" in res
+    tag = "text_min_count_5_ngram_4_window_6_bts_32.txt"
+    assert (tmp_path / "exp" / "mgnns_tpu" / tag).exists()
+    pred = (tmp_path / "pred" / "mgnns_tpu" / tag).read_text().strip().split("\n")
+    assert pred[0] == "ID\tTarget\tPred" and len(pred) == 65
+
+
+def test_prepare_adj_and_pmi(tmp_path):
+    from mgnns_tpu.cli.prepare import main as prep
+
+    out = tmp_path / "objects_adj.pkl"
+    prep(["adj", "--data_root_path", REF, "--splits", "val",
+          "--key", "objects", "--num_classes", "80", "--output", str(out)])
+    import pickle
+
+    with open(out, "rb") as f:
+        result = pickle.load(f)
+    assert result["adj"].shape == (80, 80)
+    assert (result["nums"] >= 1).all()
+
+    out2 = tmp_path / "pmi.npz"
+    prep(["pmi", "--data_root_path", REF, "--phase", "val", "--output", str(out2)])
+    from mgnns_tpu.cli.prepare import load_pmi_npz
+
+    g = load_pmi_npz(str(out2))
+    assert g.vocab_size == 20154 and g.num_edges > 1000
+
+
+def test_prepare_pack_glove(tmp_path):
+    from mgnns_tpu.cli.prepare import main as prep
+
+    glove = tmp_path / "toy_glove.txt"
+    words = ["the"] + [f"w{i}" for i in range(20)]
+    rng = np.random.default_rng(0)
+    with open(glove, "w") as f:
+        for w in words:
+            vec = " ".join(f"{v:.4f}" for v in rng.standard_normal(12))
+            f.write(f"{w} {vec}\n")
+    names = tmp_path / "classes.txt"
+    names.write_text("w1\nw2\nunknownword\n")
+    out = tmp_path / "classes.pkl"
+    prep(["pack-glove", "--glove_txt", str(glove), "--kind", "classes",
+          "--class_names", str(names), "--output", str(out)])
+    import pickle
+
+    with open(out, "rb") as f:
+        mat = pickle.load(f)
+    assert mat.shape == (3, 12)

@@ -1,0 +1,119 @@
+"""Data pipeline tests against the real read-only reference artifacts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mgnns_tpu.config import DataConfig, TextGraphConfig
+from mgnns_tpu.data import images as I
+from mgnns_tpu.data.dataset import TumblrDataset, load_constants
+from mgnns_tpu.data.loader import DeviceLoader
+from mgnns_tpu.data.text import build_text_side, read_anno
+
+REF = "/root/reference/data"
+pytestmark = pytest.mark.skipif(not os.path.exists(REF), reason="reference data unavailable")
+
+
+@pytest.fixture(scope="module")
+def text_side():
+    cfg = TextGraphConfig()
+    vocab, graph, _ = build_text_side(REF, cfg, [], pmi_phase="val")
+    return cfg, vocab, graph
+
+
+@pytest.fixture(scope="module")
+def small_ds(text_side):
+    cfg, vocab, graph = text_side
+    data_cfg = DataConfig(
+        data_root_path=REF,
+        object_inp_name=f"{REF}/glove/object_glove_word2vec.pkl",
+        place_inp_name=f"{REF}/glove/place_glove_word2vec.pkl",
+        label_glove_name=f"{REF}/tumblr_label_glove.pkl",
+        object_adj_file=f"{REF}/adj/tumblr_objects_adj.pkl",
+        place_adj_file=f"{REF}/adj/tumblr_resnet50_places_adj.pkl",
+        image_backend="synthetic",
+    )
+    records = read_anno(REF, "val")[:70]
+    return TumblrDataset(data_cfg, cfg, "val", vocab, graph,
+                         image_size=32, records=records)
+
+
+def test_read_anno_schema():
+    recs = read_anno(REF, "val")
+    assert len(recs) == 10035
+    assert {"id", "text", "image", "label"} <= set(recs[0].keys())
+
+
+def test_text_corpus_shapes(small_ds):
+    t = small_ds.text
+    assert t.ids.shape == (70, 100) and t.eids.shape == (70, 100, 9)
+    assert (t.lens >= 1).all() and (t.lens <= 100).all()
+    # mask rows sum to lens
+    np.testing.assert_array_equal(t.mask.sum(1).astype(int), t.lens)
+    # suffix padding only
+    for n in range(len(t.lens)):
+        assert (t.ids[n, t.lens[n]:] == 0).all()
+
+
+def test_labels_mapped(small_ds):
+    assert small_ds.num_classes == 7
+    assert small_ds.labels.min() >= 0 and small_ds.labels.max() < 7
+
+
+def test_load_constants():
+    data_cfg = DataConfig(
+        data_root_path=REF,
+        object_inp_name=f"{REF}/glove/object_glove_word2vec.pkl",
+        place_inp_name=f"{REF}/glove/place_glove_word2vec.pkl",
+        label_glove_name=f"{REF}/tumblr_label_glove.pkl",
+        object_adj_file=f"{REF}/adj/tumblr_objects_adj.pkl",
+        place_adj_file=f"{REF}/adj/tumblr_resnet50_places_adj.pkl",
+    )
+    c = load_constants(data_cfg, object_t=0.4, place_t=0.3)
+    assert c["object_inp"].shape == (80, 300)
+    assert c["place_inp"].shape == (365, 300)
+    assert c["label_embedding"].shape == (7, 300)
+    assert c["object_A"].shape == (80, 80) and c["place_A"].shape == (365, 365)
+
+
+def test_synthetic_images_deterministic():
+    a = I.synthetic_image("sample-1", 32)
+    b = I.synthetic_image("sample-1", 32)
+    c = I.synthetic_image("sample-2", 32)
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+    assert a.shape == (32, 32, 3) and a.dtype == np.float32
+
+
+def test_transforms_shapes():
+    from PIL import Image
+    import random
+
+    img = Image.new("RGB", (500, 400), (128, 64, 32))
+    ev = I.eval_transform(img, 64)
+    tr = I.train_transform(img, 64, random.Random(0))
+    assert ev.shape == tr.shape == (64, 64, 3)
+    # normalize: solid color -> constant value per channel
+    assert np.allclose(ev.std(axis=(0, 1)), 0.0, atol=1e-3)
+
+
+def test_loader_static_shapes_and_masking(small_ds):
+    loader = DeviceLoader(small_ds, batch_size=32, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 3  # 70 -> 32+32+6pad
+    for b in batches:
+        assert b["ids"].shape == (32, 100)
+        assert b["image"].shape == (32, 32, 32, 3)
+    # last batch mask: 6 valid
+    assert int(np.asarray(batches[-1]["weight"]).sum()) == 6
+    # total valid across epoch == dataset size
+    total = sum(int(np.asarray(b["weight"]).sum()) for b in batches)
+    assert total == 70
+
+
+def test_loader_shuffle_changes_order(small_ds):
+    l1 = DeviceLoader(small_ds, batch_size=32, shuffle=True, seed=1, with_images=False)
+    a = np.asarray(next(iter(l1))["sample_index"])
+    b = np.asarray(next(iter(l1))["sample_index"])  # next epoch reshuffles
+    assert not np.array_equal(a, b)

@@ -123,7 +123,8 @@ def test_full_trunk_matches_torch_replica(rng):
 
 def test_resnet_init_shapes():
     params, state = resnet.resnet_init(jax.random.key(0), depth=101)
-    assert len(params["layer3"]) == 23
+    # 23 blocks: 1 standalone + 22 stacked for lax.scan
+    assert params["layer3"]["rest"]["conv1"]["w"].shape[0] == 22
     x = jnp.zeros((1, 96, 96, 3))
     out, ns = resnet_apply_smoke = resnet.resnet_apply(params, state, x, depth=101, train=True)
     assert out.shape == (1, 3, 3, 2048)
