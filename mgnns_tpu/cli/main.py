@@ -87,11 +87,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="truncate each split (debug/smoke)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_to_keep", type=int, default=3)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. cpu, tpu); the ambient "
+                        "JAX_PLATFORMS env var is unreliable on this host")
+    p.add_argument("--grad_accumulation_steps", type=int, default=1,
+                   help="working gradient accumulation (the reference's "
+                        "--accumulation_steps flag is parsed but unused there)")
+    p.add_argument("--regu_weight", type=float, default=0.0,
+                   help="weight of the head-diversity penalty when --is_regu")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace for the first train epoch")
     return p
 
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from mgnns_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -186,18 +198,20 @@ def main(argv=None) -> dict:
             full = dict(batch)
             full["object_inp"] = object_inp
             full["place_inp"] = place_inp
-            logits, new_bs, _ = mgnns_apply(
+            logits, new_bs, aux = mgnns_apply(
                 p, bs, consts, full, cfg=model_cfg, train=train, rng=rng,
                 use_pallas=args.use_pallas,
             )
-            return logits, new_bs
+            return logits, new_bs, aux.get("head_diversity", 0.0)
 
-    steps_per_epoch = max(1, len(train_ds) // args.batch_size)
+    steps_per_epoch = max(1, len(train_ds) // (args.batch_size * args.grad_accumulation_steps))
     engine = Engine(
         apply_fn, params, batch_stats,
         num_classes=args.num_labels, lr=args.lr, lrp=args.lrp,
         weight_decay=args.weight_decay, steps_per_epoch=steps_per_epoch,
         epoch_step=args.epoch_step, faithful_param_groups=args.faithful_param_groups,
+        accumulation_steps=args.grad_accumulation_steps,
+        aux_loss_weight=args.regu_weight,
         seed=args.seed,
         checkpoint_dir=os.path.join(args.save_model_path, args.model_name),
         max_to_keep=args.max_to_keep, mesh=mesh, param_sharding_rules=rules,

@@ -84,9 +84,17 @@ def make_optimizer(
     epoch_step: Sequence[int] = (10,),
     lr_decay: float = 0.2,
     faithful: bool = False,
+    accumulation_steps: int = 1,
 ) -> optax.GradientTransformation:
     """torch-Adam-equivalent chain: clip -> L2-to-grad -> Adam moments ->
-    per-group multiplier -> -lr(step)."""
+    per-group multiplier -> -lr(step).
+
+    ``accumulation_steps > 1`` wraps the chain in ``optax.MultiSteps`` —
+    a *working* version of the reference's parsed-but-unused
+    ``--accumulation_steps`` flag (``Tumblr_...py:76``); the effective batch
+    is ``accumulation_steps * batch_size`` and ``steps_per_epoch`` should
+    count applied (outer) steps.
+    """
     labels = label_params(params, faithful)
     multipliers = {
         "base": optax.scale(1.0),
@@ -96,10 +104,13 @@ def make_optimizer(
         "frozen": optax.set_to_zero(),
     }
     sched = lr_schedule(lr, steps_per_epoch, epoch_step, lr_decay)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.multi_transform(multipliers, labels),
         optax.scale_by_schedule(lambda step: -sched(step)),
     )
+    if accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx

@@ -72,6 +72,8 @@ class Engine:
         epoch_step=(10,),
         lr_decay: float = 0.2,
         faithful_param_groups: bool = False,
+        accumulation_steps: int = 1,
+        aux_loss_weight: float = 0.0,
         seed: int = 0,
         checkpoint_dir: str | None = None,
         max_to_keep: int = 3,
@@ -80,11 +82,13 @@ class Engine:
     ):
         self.apply_fn = apply_fn
         self.num_classes = num_classes
+        self.aux_loss_weight = aux_loss_weight
         self.tx = make_optimizer(
             params,
             lr=lr, lrp=lrp, weight_decay=weight_decay, grad_clip=grad_clip,
             steps_per_epoch=steps_per_epoch, epoch_step=epoch_step,
             lr_decay=lr_decay, faithful=faithful_param_groups,
+            accumulation_steps=accumulation_steps,
         )
         self.mesh = mesh
         if mesh is not None and param_sharding_rules is not None:
@@ -112,13 +116,20 @@ class Engine:
 
     def _build_steps(self):
         apply_fn, tx, C = self.apply_fn, self.tx, self.num_classes
+        aux_w = self.aux_loss_weight
+
+        def unpack(out):
+            # apply_fn may return (logits, new_bs) or (logits, new_bs, aux_loss)
+            if len(out) == 3:
+                return out[0], out[1], out[2]
+            return out[0], out[1], 0.0
 
         def train_step(state: TrainState, batch, cm):
             rng = jax.random.fold_in(state.rng, state.step)
 
             def loss_fn(params):
-                logits, new_bs = apply_fn(params, state.batch_stats, batch, train=True, rng=rng)
-                loss = cross_entropy(logits, batch["label"], batch["weight"])
+                logits, new_bs, aux = unpack(apply_fn(params, state.batch_stats, batch, train=True, rng=rng))
+                loss = cross_entropy(logits, batch["label"], batch["weight"]) + aux_w * aux
                 return loss, (logits, new_bs)
 
             (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -130,7 +141,7 @@ class Engine:
             return new_state, loss, cm
 
         def eval_step(params, batch_stats, batch, cm):
-            logits, _ = apply_fn(params, batch_stats, batch, train=False, rng=None)
+            logits, _, _ = unpack(apply_fn(params, batch_stats, batch, train=False, rng=None))
             loss = cross_entropy(logits, batch["label"], batch["weight"])
             preds = jnp.argmax(logits, axis=-1)
             cm = M.confusion_update(cm, preds, batch["label"], batch["weight"])

@@ -276,26 +276,38 @@ def mgnns_apply(
     )
 
     # ---- cross-modal fusion ----------------------------------------------
-    def run_stack(stack, q, k, v, mask, name):
+    head_diffs: list[jnp.ndarray] = []
+
+    def run_stack(stack, q, k, v, mask, name, is_regu=False):
         out = q
         for i, blk in enumerate(stack):
-            out, _ = attention.my_mha_apply(
+            res = attention.my_mha_apply(
                 blk, out, k, v, mask,
                 n_head=cfg.n_head, d_kv=cfg.d_kv,
                 dropout_rate=cfg.dropout, train=train,
-                rng=rngs.next(f"{name}{i}"), is_regu=False,
+                rng=rngs.next(f"{name}{i}"), is_regu=is_regu,
             )
+            out = res[0]
+            if is_regu:
+                head_diffs.append(res[2])
         return out
 
+    # the image->text stacks carry the head-diversity regularizer when
+    # cfg.is_regu (reference constructs them with is_regu, :198-199,:225-226;
+    # the text->image stacks never do, :250-252,:262-264)
     mask = batch["mask"]
     img_object_text = run_stack(params["img_object_text_mha"], object_x_attention,
-                                text_memory_bank, text_memory_bank, mask, "iot")
+                                text_memory_bank, text_memory_bank, mask, "iot",
+                                is_regu=cfg.is_regu)
     img_place_text = run_stack(params["img_place_text_mha"], place_x_attention,
-                               text_memory_bank, text_memory_bank, mask, "ipt")
+                               text_memory_bank, text_memory_bank, mask, "ipt",
+                               is_regu=cfg.is_regu)
     text_img_object = run_stack(params["text_img_object_mha"], text_feature,
                                 img_object_memory_bank, img_object_memory_bank, None, "tio")
     text_img_place = run_stack(params["text_img_place_mha"], text_feature,
                                img_place_memory_bank, img_place_memory_bank, None, "tip")
+    if head_diffs:
+        aux["head_diversity"] = jnp.stack(head_diffs).mean()
 
     multi = jnp.concatenate(
         [text_img_object, text_img_place, img_object_text, img_place_text], axis=1

@@ -62,7 +62,12 @@ def head_diversity(output_heads: jnp.ndarray) -> jnp.ndarray:
     Returns:
       [B] penalty.
     """
-    x = output_heads / (jnp.linalg.norm(output_heads, axis=-1, keepdims=True) + 1e-12)
+    # sqrt(sum^2 + eps) rather than ||x|| + eps: the norm's gradient at an
+    # exactly-zero head (dropout can produce one) is NaN and would poison the
+    # whole update through the regularizer.
+    x = output_heads / jnp.sqrt(
+        jnp.sum(output_heads**2, axis=-1, keepdims=True) + 1e-12
+    )
     cos = jnp.einsum("bhd,bgd->bhg", x, x)
     n_head = output_heads.shape[1]
     cos = cos * (1.0 - jnp.eye(n_head, dtype=cos.dtype))
@@ -191,6 +196,21 @@ def my_mha_apply(
     if is_regu:
         return out, res[1], res[2]
     return out, res[1]
+
+
+# ---------------------------------------------------------------------------
+# "Another" 1-query MHA (reference moudles.MyAnotherMultiHeadAttention)
+#
+# The reference's AnotherMultiHeadAttention (moudles.py:232-288) differs from
+# MultiHeadAttention only in how it interleaves the (batch, head) axes before
+# the batched matmul — per-(b, h) attention math is identical, and its two
+# call sites pass no mask (need_mask=False), so the einsum formulation above
+# covers both exactly.  Provided as named aliases for API parity; the
+# text_object_text / text_place_text stages built from it are commented out
+# of the reference forward (Multi_GCN_Multihead_att.py:516-532).
+
+my_another_mha_init = my_mha_init
+my_another_mha_apply = my_mha_apply
 
 
 # ---------------------------------------------------------------------------

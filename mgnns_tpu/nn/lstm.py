@@ -59,8 +59,11 @@ def lstm_init(
     return {"layers": layers}
 
 
-def _cell_step(p: dict, x_t: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, H: int):
-    gates = x_t @ p["w_ih"] + p["b_ih"] + h @ p["w_hh"] + p["b_hh"]
+def _cell_step(p: dict, xw_t: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, H: int):
+    """One LSTM cell step given the *precomputed* input projection ``xw_t``
+    (= x_t @ W_ih + b_ih).  Hoisting that projection out of the scan turns
+    L small [B, D]x[D, 4H] matmuls into one [B*L, D]x[D, 4H] MXU matmul."""
+    gates = xw_t + h @ p["w_hh"] + p["b_hh"]
     i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
     f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
     g = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -74,6 +77,7 @@ def _scan_direction(p: dict, x: jnp.ndarray, lens: jnp.ndarray, reverse: bool):
     """One direction over [B, L, D].  Returns (outputs [B, L, H], h_T, c_T)."""
     B, L, _ = x.shape
     H = p["w_hh"].shape[0]
+    xw = x @ p["w_ih"] + p["b_ih"]        # [B, L, 4H], single MXU matmul
     h0 = jnp.zeros((B, H), x.dtype)
     c0 = jnp.zeros((B, H), x.dtype)
     ts = jnp.arange(L)
@@ -82,8 +86,7 @@ def _scan_direction(p: dict, x: jnp.ndarray, lens: jnp.ndarray, reverse: bool):
 
     def step(carry, t):
         h, c = carry
-        x_t = x[:, t, :]
-        h_new, c_new = _cell_step(p, x_t, h, c, H)
+        h_new, c_new = _cell_step(p, xw[:, t, :], h, c, H)
         upd = (t < lens)[:, None]
         h = jnp.where(upd, h_new, h)
         c = jnp.where(upd, c_new, c)
