@@ -136,26 +136,12 @@ def cal_pmi(
     if ids.size == 0:
         return PmiGraph(V, np.zeros((0,), np.int64), np.zeros((0,), np.float32))
 
-    # Unigram counts: in-vocab, non-PAD tokens (utils/pmi.py:43-47).
-    src_valid = ids > PAD_ID  # PAD_ID == 0; OOV == -1
-    word_count = np.bincount(ids[src_valid].ravel(), minlength=V).astype(np.int64)
+    # Unigram + windowed pair counts (offsets o in [-window, window-1],
+    # o != 0), via the native C++ counter when built, numpy otherwise
+    # (mgnns_tpu/native.py; both reproduce utils/pmi.py:40-58 exactly).
+    from mgnns_tpu import native
 
-    # Windowed pair counts, sparse.  Offsets o in [-window, window-1], o != 0.
-    L = ids.shape[1]
-    key_chunks = []
-    for o in range(-window_size, window_size):
-        if o == 0:
-            continue
-        if o > 0:
-            s = ids[:, : L - o]   # source word at position i
-            t = ids[:, o:]        # target at i + o
-        else:
-            s = ids[:, -o:]
-            t = ids[:, : L + o]
-        m = (s > PAD_ID) & (t >= 0)  # src in-vocab & != PAD; dst in-vocab
-        key_chunks.append(s[m].astype(np.int64) * V + t[m].astype(np.int64))
-    all_keys = np.concatenate(key_chunks) if key_chunks else np.zeros((0,), np.int64)
-    pair_keys, pair_counts = np.unique(all_keys, return_counts=True)
+    pair_keys, pair_counts, word_count = native.pmi_pair_count(ids, V, window_size)
 
     # Threshold (utils/pmi.py:59-67).
     keep = pair_counts >= min_cooccurrence
@@ -206,6 +192,11 @@ def doc_window_edge_ids(
       recomputed on device from ``lengths``).
     """
     doc_ids = np.asarray(doc_ids)
+    from mgnns_tpu import native
+
+    if native.available():
+        return native.window_edge_ids(doc_ids, np.asarray(lengths), ngram,
+                                      graph.keys, graph.vocab_size)
     N, L = doc_ids.shape
     W = 2 * ngram + 1
     out = np.zeros((N, L, W), dtype=np.int32)
