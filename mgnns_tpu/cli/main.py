@@ -95,6 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "--accumulation_steps flag is parsed but unused there)")
     p.add_argument("--regu_weight", type=float, default=0.0,
                    help="weight of the head-diversity penalty when --is_regu")
+    p.add_argument("--remat_trunks", action="store_true",
+                   help="jax.checkpoint the ResNet trunks (memory for FLOPs)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace for the first train epoch")
     return p
@@ -154,6 +156,7 @@ def main(argv=None) -> dict:
         place_num_classes=args.place_num_classes, object_t=args.object_t_value,
         place_t=args.place_t_value, image_size=args.image_size,
         edges_num=graph.num_edges, compute_dtype=compute_dtype,
+        remat_trunks=args.remat_trunks,
     )
 
     mesh = None
@@ -248,12 +251,13 @@ def main(argv=None) -> dict:
             loader(train_ds, True), loader(val_ds, False), loader(test_ds, False),
             max_epochs=args.epochs, resume=args.resume is not None,
             log_every=args.print_freq, result_paths=result_paths, run_config=run_config,
+            profile_dir=args.profile_dir,
         )
     else:
         res = engine.learning(
             loader(train_ds, True), loader(val_ds, False), None,
             max_epochs=args.epochs, resume=args.resume is not None,
-            log_every=args.print_freq,
+            log_every=args.print_freq, profile_dir=args.profile_dir,
         )
     return res
 

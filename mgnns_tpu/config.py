@@ -76,6 +76,9 @@ class ModelConfig:
     # 'batch' = train-mode BatchNorm like the reference; 'frozen' = running
     # stats only (recommended for fine-tuning on TPU).
     bn_mode: str = "batch"
+    # jax.checkpoint the ResNet trunks: trades recompute for activation
+    # memory, enabling much larger batches at 448px.
+    remat_trunks: bool = False
 
     @property
     def bi_hidden_size(self) -> int:

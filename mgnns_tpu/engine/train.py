@@ -210,15 +210,23 @@ class Engine:
         log_every: int = 0,
         result_paths: dict | None = None,
         run_config: dict | None = None,
+        profile_dir: str | None = None,
     ) -> dict:
         """Full loop: train/val per epoch, checkpoint + best tracking, then
         test with the best params (reference ``learning``, ``:315-507``)."""
         if resume and self.checkpointer is not None and self.checkpointer.latest_step() is not None:
             self.restore()
         history = []
+        first_epoch = self.epoch
         for epoch in range(self.epoch, max_epochs):
             self.epoch = epoch
-            tr = self.train_epoch(train_loader_fn(), log_every=log_every)
+            if profile_dir and epoch == first_epoch:
+                from mgnns_tpu.utils import jax_profile
+
+                with jax_profile(profile_dir):
+                    tr = self.train_epoch(train_loader_fn(), log_every=log_every)
+            else:
+                tr = self.train_epoch(train_loader_fn(), log_every=log_every)
             va = self.eval_epoch(val_loader_fn())
             va.pop("confusion", None)
             print(

@@ -185,9 +185,14 @@ def _image_channel(
     Returns (memory_bank [B, 196, d], channel_vec [B, 300], new_trunk_state).
     """
     dtype = cfg.cdtype
-    feats, new_state = resnet.resnet_apply(
-        trunk_params, trunk_state, image, depth=depth, train=train, dtype=dtype
-    )
+
+    def trunk_fn(tp, ts, img):
+        return resnet.resnet_apply(tp, ts, img, depth=depth, train=train, dtype=dtype)
+
+    if cfg.remat_trunks:
+        # rematerialize trunk activations in the backward pass (HBM for FLOPs)
+        trunk_fn = jax.checkpoint(trunk_fn)
+    feats, new_state = trunk_fn(trunk_params, trunk_state, image)
     B, H, W, C = feats.shape
     feats32 = feats.astype(jnp.float32)
     # memory bank: [B, H*W, 2048] -> linear -> [B, 196, d]
