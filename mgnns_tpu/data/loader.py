@@ -35,6 +35,7 @@ class DeviceLoader:
         num_threads: int = 8,
         with_images: bool = True,
         device_put=None,
+        cache_device_batches: bool = False,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -45,6 +46,13 @@ class DeviceLoader:
         self.with_images = with_images
         # hook for sharded placement (parallel.mesh.batch_device_put)
         self._device_put = device_put or jax.device_put
+        # Static eval sets: keep the device-resident batches from the first
+        # epoch and replay them (valid only without shuffling/augmentation;
+        # TumEmo val = 10k x 448px uint8 ~= 6 GB, fits v5e HBM).
+        if cache_device_batches and shuffle:
+            raise ValueError("cache_device_batches requires shuffle=False")
+        self.cache_device_batches = cache_device_batches
+        self._device_cache: list | None = None
 
     def __len__(self) -> int:
         return (len(self.ds) + self.batch_size - 1) // self.batch_size
@@ -80,6 +88,10 @@ class DeviceLoader:
         import queue
         import threading
 
+        if self._device_cache is not None:
+            yield from self._device_cache
+            return
+
         order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
@@ -109,13 +121,19 @@ class DeviceLoader:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
+        collected = [] if self.cache_device_batches else None
         try:
             while True:
                 item = q.get()
                 if item is None:
+                    if collected is not None:
+                        self._device_cache = collected
                     return
                 if isinstance(item, BaseException):
                     raise item
-                yield self._device_put(item)
+                dev = self._device_put(item)
+                if collected is not None:
+                    collected.append(dev)
+                yield dev
         finally:
             stop.set()

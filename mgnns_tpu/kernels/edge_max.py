@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(lens_ref, emb_ref, w_ref, out_ref, *, ngram: int):
     L, D = out_ref.shape
-    length = lens_ref[0]
+    # lens arrives whole via scalar prefetch; pick this program's document
+    length = lens_ref[pl.program_id(0)]
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
     emb = emb_ref[:]
     w = w_ref[:]
@@ -51,15 +52,18 @@ def _forward(emb: jnp.ndarray, w: jnp.ndarray, lens: jnp.ndarray, ngram: int,
              interpret: bool = False) -> jnp.ndarray:
     B, L, D = emb.shape
     W = 2 * ngram + 1
-    return pl.pallas_call(
-        functools.partial(_kernel, ngram=ngram),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # lens [B] lives in SMEM, whole
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, L, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, L, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, D), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec((None, L, W), lambda b, lens: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, L, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((None, L, D), lambda b, lens: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, ngram=ngram),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, L, D), jnp.float32),
         interpret=interpret,
     )(lens.astype(jnp.int32), emb.astype(jnp.float32), w.astype(jnp.float32))
