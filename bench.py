@@ -2,6 +2,12 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Modes (env MGNNS_BENCH_MODE), matching BASELINE.json's config ladder:
+  full  (default) — full fusion model eval (text GCN + BiLSTM + both trunks
+                    + image GCNs + label attention + 4-way cross fusion);
+  text            — text-channel-only model (Text_GCN configs);
+  train           — full-model training step throughput.
+
 What is measured: the complete inference pipeline on real TumEmo val text —
 host batch assembly (text tensors + image decode via the threaded
 DeviceLoader) + jitted full fusion forward (text-GCN + BiLSTM + ResNet-101 +
@@ -40,7 +46,8 @@ def main():
     from mgnns_tpu.models.mgnns import mgnns_init_jitted
 
     ref = os.environ.get("MGNNS_DATA", "/root/reference/data")
-    batch_size = int(os.environ.get("MGNNS_BENCH_BATCH", "64"))
+    mode = os.environ.get("MGNNS_BENCH_MODE", "full")
+    batch_size = int(os.environ.get("MGNNS_BENCH_BATCH", "64" if mode != "train" else "16"))
     n_samples = int(os.environ.get("MGNNS_BENCH_SAMPLES", "512"))
 
     graph_cfg = TextGraphConfig()
@@ -58,6 +65,38 @@ def main():
     ds = TumblrDataset(data_cfg, graph_cfg, "val", vocab, graph,
                        image_size=448, records=records)
     consts_np = load_constants(data_cfg, object_t=0.4, place_t=0.3)
+
+    if mode == "text":
+        import jax.numpy as jnp
+        from mgnns_tpu.models import text_model_apply, text_model_init
+
+        tparams = text_model_init(jax.random.key(0), len(vocab), 7, graph.num_edges)
+
+        @jax.jit
+        def text_eval(p, batch):
+            return jax.numpy.argmax(
+                text_model_apply(p, batch, ngram=4, use_pallas=True), axis=-1)
+
+        loader = DeviceLoader(ds, batch_size, shuffle=False, with_images=False,
+                              cache_device_batches=True)
+
+        def run_text():
+            n, preds = 0, None
+            for batch in loader:
+                b = {k: batch[k] for k in ("ids", "lens", "eids")}
+                preds = text_eval(tparams, b)
+                n += int(np.asarray(batch["weight"]).sum())
+            jax.block_until_ready(preds)
+            return n
+
+        run_text()
+        t0 = time.time()
+        n = run_text()
+        sps = n / (time.time() - t0)
+        print(json.dumps({"metric": "text_channel_eval_samples_per_sec_per_chip",
+                          "value": round(sps, 2), "unit": "samples/s",
+                          "vs_baseline": None}))
+        return
 
     cfg = ModelConfig(vocab_size=len(vocab), edges_num=graph.num_edges,
                       compute_dtype="bfloat16")
@@ -93,6 +132,35 @@ def main():
             n += int(np.asarray(batch["weight"]).sum())
         jax.block_until_ready(preds)
         return n
+
+    if mode == "train":
+        from mgnns_tpu.engine import metrics as M
+        from mgnns_tpu.engine.train import Engine
+
+        def apply_fn(p, bs, batch, *, train, rng):
+            full = dict(batch)
+            full["object_inp"] = object_inp
+            full["place_inp"] = place_inp
+            logits, new_bs, _ = mgnns_apply(p, bs, consts, full, cfg=cfg,
+                                            train=train, rng=rng, use_pallas=True)
+            return logits, new_bs
+
+        eng = Engine(apply_fn, params, bstats, num_classes=7, steps_per_epoch=1)
+        batch = next(iter(DeviceLoader(ds, batch_size, shuffle=False, num_threads=8)))
+        cm = M.confusion_init(7)
+        eng.state, loss, cm = eng._train_step(eng.state, batch, cm)
+        jax.block_until_ready(eng.state.params)
+        t0 = time.time()
+        iters = 5
+        for _ in range(iters):
+            cm = M.confusion_init(7)
+            eng.state, loss, cm = eng._train_step(eng.state, batch, cm)
+        jax.block_until_ready(eng.state.params)
+        sps = batch_size * iters / (time.time() - t0)
+        print(json.dumps({"metric": "mgnns_train_samples_per_sec_per_chip",
+                          "value": round(sps, 2), "unit": "samples/s",
+                          "vs_baseline": None}))
+        return
 
     run_epoch()  # warmup: compile + decode + H2D staging
     t0 = time.time()

