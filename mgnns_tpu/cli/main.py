@@ -129,7 +129,6 @@ def main(argv=None) -> dict:
         image_root=args.image_root, image_backend=args.image_backend,
     )
 
-    phases = sorted({args.train_phase, args.val_phase, args.test_phase})
     vocab, graph, _ = build_text_side(args.data_root_path, graph_cfg, [], pmi_phase=args.pmi_phase)
     print(f"vocab={len(vocab)} pmi_edges={graph.num_edges - 1}")
 

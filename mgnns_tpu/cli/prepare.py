@@ -131,6 +131,75 @@ def cmd_pack_glove(args) -> None:
     print(f"wrote {out} ({len(words)} x {len(fallback)})")
 
 
+def cmd_join(args) -> None:
+    """Join per-split text/object/place annotation files on 'id' into the
+    ``*_all_anno.json`` format (reference ``utils/util.py:190-261``
+    ``contac_jsons``/``contac_object_and_place_jsons`` — their O(N^2) nested
+    file scans replaced by dict joins)."""
+    def read_jsonl(path):
+        with open(path) as f:
+            return [json.loads(l) for l in f if l.strip()]
+
+    base = {r["id"]: dict(r) for r in read_jsonl(args.base)}
+    for extra in args.extra or []:
+        for r in read_jsonl(extra):
+            if r["id"] in base:
+                for k, v in r.items():
+                    base[r["id"]].setdefault(k, v)
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    with open(args.output, "w") as f:
+        for r in base.values():
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {args.output} ({len(base)} records)")
+
+
+def cmd_filter_short(args) -> None:
+    """Drop records with fewer than ``min_words`` tokens (reference
+    ``remove_short``, ``utils/util.py:263-291``)."""
+    kept = []
+    with open(args.input) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if len(rec["text"].split(" ")) >= args.min_words:
+                kept.append(rec)
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    with open(args.output, "w") as f:
+        for r in kept:
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {args.output} ({len(kept)} records kept)")
+
+
+def cmd_upsample(args) -> None:
+    """Append duplicates of one label's records to balance classes
+    (reference ``up_sampling``, ``utils/util.py:294-306`` — generalized to
+    any label and an explicit output rather than in-place append)."""
+    with open(args.input) as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    dup = [r for r in rows if r["label"] == args.label] * args.times
+    out = args.output or args.input
+    with open(out, "w") as f:
+        for r in rows + dup:
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {out} (+{len(dup)} upsampled '{args.label}' records)")
+
+
+def cmd_label_stats(args) -> None:
+    """Per-label record counts (reference ``calculate_label_num``,
+    ``utils/util.py:308-321`` — which, note, miscounts 'neutral' via a
+    copy-paste bug; this counts correctly)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    with open(args.input) as f:
+        for line in f:
+            if line.strip():
+                counts[json.loads(line)["label"]] += 1
+    for label, n in sorted(counts.items()):
+        print(f"{label}\t{n}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="MGNNS-TPU data preparation")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -166,6 +235,29 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--class_names", default=None)
     g.add_argument("--output", default=None)
     g.set_defaults(fn=cmd_pack_glove)
+
+    j = sub.add_parser("join", help="join annotation JSONL files on id")
+    j.add_argument("--base", required=True)
+    j.add_argument("--extra", nargs="*", default=[])
+    j.add_argument("--output", required=True)
+    j.set_defaults(fn=cmd_join)
+
+    fs = sub.add_parser("filter-short", help="drop records with few tokens")
+    fs.add_argument("--input", required=True)
+    fs.add_argument("--output", required=True)
+    fs.add_argument("--min_words", type=int, default=5)
+    fs.set_defaults(fn=cmd_filter_short)
+
+    u = sub.add_parser("upsample", help="duplicate one label's records")
+    u.add_argument("--input", required=True)
+    u.add_argument("--label", required=True)
+    u.add_argument("--times", type=int, default=1)
+    u.add_argument("--output", default=None)
+    u.set_defaults(fn=cmd_upsample)
+
+    ls = sub.add_parser("label-stats", help="per-label record counts")
+    ls.add_argument("--input", required=True)
+    ls.set_defaults(fn=cmd_label_stats)
     return p
 
 

@@ -71,3 +71,40 @@ def test_prepare_pack_glove(tmp_path):
     with open(out, "rb") as f:
         mat = pickle.load(f)
     assert mat.shape == (3, 12)
+
+
+def test_prepare_join_filter_upsample_stats(tmp_path, capsys):
+    from mgnns_tpu.cli.prepare import main as prep
+    import json as J
+
+    base = tmp_path / "base.json"
+    extra = tmp_path / "extra.json"
+    with open(base, "w") as f:
+        for i in range(6):
+            f.write(J.dumps({"id": f"s{i}", "text": "a b c d e f"[: 2 * (i + 1) - 1],
+                             "label": "happy" if i % 2 else "sad"}) + "\n")
+    with open(extra, "w") as f:
+        for i in range(6):
+            f.write(J.dumps({"id": f"s{i}", "objects": [i]}) + "\n")
+
+    joined = tmp_path / "joined.json"
+    prep(["join", "--base", str(base), "--extra", str(extra), "--output", str(joined)])
+    rows = [J.loads(l) for l in open(joined)]
+    assert len(rows) == 6 and rows[0]["objects"] == [0]
+
+    filtered = tmp_path / "filtered.json"
+    prep(["filter-short", "--input", str(joined), "--output", str(filtered),
+          "--min_words", "4"])
+    rows_f = [J.loads(l) for l in open(filtered)]
+    assert all(len(r["text"].split(" ")) >= 4 for r in rows_f)
+    assert 0 < len(rows_f) < 6
+
+    up = tmp_path / "up.json"
+    prep(["upsample", "--input", str(joined), "--label", "sad", "--times", "2",
+          "--output", str(up)])
+    rows_u = [J.loads(l) for l in open(up)]
+    assert sum(r["label"] == "sad" for r in rows_u) == 3 * 3  # 3 originals * (1+2)
+
+    prep(["label-stats", "--input", str(joined)])
+    out = capsys.readouterr().out
+    assert "happy\t3" in out and "sad\t3" in out
