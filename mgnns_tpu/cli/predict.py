@@ -1,0 +1,68 @@
+"""Prediction CLI: classify raw (text, image) posts with a trained model.
+
+The serving counterpart of the training CLI (the reference has no inference
+entry point at all).  Input: a JSONL of records with at least a ``text``
+field (``image`` optional); output: one JSON result per line.
+
+Example::
+
+    python -m mgnns_tpu.cli.predict --data_root_path data \
+        --checkpoint checkpoint/mgnns_tpu --text_only \
+        --input posts.jsonl --output preds.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MGNNS-TPU prediction")
+    p.add_argument("--data_root_path", required=True)
+    p.add_argument("--checkpoint", required=True, help="engine checkpoint dir")
+    p.add_argument("--input", required=True, help="JSONL of {'text', 'image'?}")
+    p.add_argument("--output", default=None, help="output JSONL (default stdout)")
+    p.add_argument("--text_only", action="store_true")
+    p.add_argument("--pmi_phase", default="train")
+    p.add_argument("--image_backend", default="pil", choices=["pil", "synthetic"])
+    p.add_argument("--image_root", default=".")
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--step", type=int, default=None, help="checkpoint step (default latest)")
+    p.add_argument("--platform", default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from mgnns_tpu.serving import Predictor
+    from mgnns_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    predictor = Predictor.from_engine_artifacts(
+        args.data_root_path, args.checkpoint,
+        text_only=args.text_only, pmi_phase=args.pmi_phase,
+        image_backend=args.image_backend, image_root=args.image_root,
+        max_batch=args.max_batch, step=args.step,
+    )
+    with open(args.input) as f:
+        records = [json.loads(l) for l in f if l.strip()]
+    results = predictor.predict(records)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for rec, res in zip(records, results):
+            res_out = {"id": rec.get("id"), **res}
+            out.write(json.dumps(res_out) + "\n")
+    finally:
+        if args.output:
+            out.close()
+            print(f"wrote {args.output} ({len(results)} predictions)")
+
+
+if __name__ == "__main__":
+    main()

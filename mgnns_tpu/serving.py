@@ -1,0 +1,239 @@
+"""Serving: load a trained model once, predict on raw (text, image) posts.
+
+The reference has no inference API at all — prediction requires running the
+full evaluation engine over a dataset on disk.  This module provides the
+deployment path: a :class:`Predictor` that owns the preprocessing state
+(vocab, PMI graph, transforms, constants) and a jitted batched forward, with
+a fixed-size batch slot so every request shape hits the same compiled
+program.
+
+Usage::
+
+    pred = Predictor.from_engine_artifacts(
+        data_root, checkpoint_dir, text_only=False)
+    out = pred.predict([{"text": "what a wonderful day", "image": "a.jpg"}])
+    out[0] -> {"label": "happy", "probs": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgnns_tpu.config import DataConfig, ModelConfig, TextGraphConfig
+from mgnns_tpu.data import images as I
+from mgnns_tpu.data.text import build_text_side
+from mgnns_tpu.graphs.pmi import doc_window_edge_ids
+from mgnns_tpu.graphs.vocab import make_word_to_id, words_to_ids
+
+
+class Predictor:
+    def __init__(
+        self,
+        *,
+        vocab: list[str],
+        graph,
+        graph_cfg: TextGraphConfig,
+        label_map: dict[str, int],
+        apply_fn,
+        params,
+        batch_stats,
+        image_size: int = 448,
+        image_backend: str = "pil",
+        image_root: str = ".",
+        max_batch: int = 16,
+        text_only: bool = False,
+    ):
+        self.vocab = vocab
+        self.graph = graph
+        self.graph_cfg = graph_cfg
+        self.w2i = make_word_to_id(vocab)
+        self.idx2label = {v: k for k, v in label_map.items()}
+        self.params = params
+        self.batch_stats = batch_stats
+        self.image_size = image_size
+        self.image_backend = image_backend
+        self.image_root = image_root
+        self.max_batch = max_batch
+        self.text_only = text_only
+
+        def fwd(p, bs, batch):
+            logits = apply_fn(p, bs, batch)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        self._fwd = jax.jit(fwd)
+
+    # ------------------------------------------------------------- preproc
+
+    def _encode_text(self, texts: list[str]):
+        L = self.graph_cfg.max_len
+        B = len(texts)
+        ids = np.zeros((B, L), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for n, t in enumerate(texts):
+            toks = words_to_ids(t.split(" "), self.w2i)[:L]
+            ids[n, : len(toks)] = toks
+            lens[n] = max(len(toks), 1)
+        eids = doc_window_edge_ids(ids, lens, self.graph_cfg.ngram, self.graph)
+        mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float32)
+        return ids, lens, mask, eids
+
+    def _encode_images(self, records: list[dict]):
+        imgs = []
+        for rec in records:
+            path = os.path.join(self.image_root, rec.get("image", ""))
+            imgs.append(I.load_image_uint8(
+                path, size=self.image_size, train=False, rng=random.Random(0),
+                backend=self.image_backend, sample_key=str(rec.get("id", rec.get("text", ""))),
+            ))
+        return np.stack(imgs)
+
+    # ------------------------------------------------------------- predict
+
+    def predict(self, records: list[dict]) -> list[dict]:
+        """records: list of {"text": str, "image": optional path, "id": optional}.
+        Returns per record: {"label", "label_id", "probs": {name: p}}."""
+        for i, rec in enumerate(records):
+            if "text" not in rec:
+                raise ValueError(
+                    f"record {i} (id={rec.get('id')!r}) has no 'text' field")
+        out: list[dict] = []
+        for i in range(0, len(records), self.max_batch):
+            chunk = records[i : i + self.max_batch]
+            out.extend(self._predict_chunk(chunk))
+        return out
+
+    def _predict_chunk(self, records: list[dict]) -> list[dict]:
+        n = len(records)
+        B = self.max_batch
+        pad = B - n
+        padded = records + [records[-1]] * pad
+        ids, lens, mask, eids = self._encode_text([r["text"] for r in padded])
+        batch = {
+            "ids": jnp.asarray(ids), "lens": jnp.asarray(lens),
+            "mask": jnp.asarray(mask), "eids": jnp.asarray(eids),
+        }
+        if not self.text_only:
+            batch["image"] = jnp.asarray(self._encode_images(padded))
+        probs = np.asarray(self._fwd(self.params, self.batch_stats, batch))[:n]
+        results = []
+        for row in probs:
+            label_id = int(row.argmax())
+            results.append({
+                "label": self.idx2label[label_id],
+                "label_id": label_id,
+                "probs": {self.idx2label[j]: float(p) for j, p in enumerate(row)},
+            })
+        return results
+
+    # ---------------------------------------------------------- constructors
+
+    @classmethod
+    def from_engine_artifacts(
+        cls,
+        data_root: str,
+        checkpoint_dir: str,
+        *,
+        text_only: bool = False,
+        pmi_phase: str = "train",
+        graph_cfg: TextGraphConfig | None = None,
+        model_overrides: dict | None = None,
+        image_backend: str = "pil",
+        image_root: str = ".",
+        max_batch: int = 16,
+        step: int | None = None,
+    ) -> "Predictor":
+        """Rebuild preprocessing from the data root and restore the latest
+        (or given) engine checkpoint written by the training CLI."""
+        graph_cfg = graph_cfg or TextGraphConfig()
+        vocab, graph, _ = build_text_side(data_root, graph_cfg, [], pmi_phase=pmi_phase)
+        with open(os.path.join(data_root, "label.json")) as f:
+            label_map = json.load(f)
+
+        from mgnns_tpu.engine.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(checkpoint_dir)
+        if text_only:
+            from mgnns_tpu.models import text_model_apply, text_model_init
+
+            template_params = text_model_init(
+                jax.random.key(0), len(vocab), len(label_map), graph.num_edges)
+            raw = ckpt.restore(step)
+            params = _conform(template_params, raw["params"])
+            bstats = {}
+
+            def apply_fn(p, bs, batch):
+                return text_model_apply(p, batch, ngram=graph_cfg.ngram)
+
+            image_size = 448
+        else:
+            from mgnns_tpu.data.dataset import load_constants
+            from mgnns_tpu.models import mgnns_apply
+            from mgnns_tpu.models.mgnns import mgnns_init_jitted
+
+            overrides = dict(model_overrides or {})
+            cfg = ModelConfig(
+                num_labels=len(label_map), vocab_size=len(vocab),
+                edges_num=graph.num_edges, **overrides)
+            data_cfg = DataConfig(
+                data_root_path=data_root,
+                object_inp_name=os.path.join(data_root, "glove/object_glove_word2vec.pkl"),
+                place_inp_name=os.path.join(data_root, "glove/place_glove_word2vec.pkl"),
+                label_glove_name=os.path.join(data_root, "tumblr_label_glove.pkl"),
+                object_adj_file=os.path.join(data_root, "adj/tumblr_objects_adj.pkl"),
+                place_adj_file=os.path.join(data_root, "adj/tumblr_resnet50_places_adj.pkl"),
+            )
+            consts_np = load_constants(data_cfg, object_t=cfg.object_t, place_t=cfg.place_t)
+            tparams, tbstats, consts = mgnns_init_jitted(
+                jax.random.key(0), cfg, num_edges=graph.num_edges,
+                label_embedding=consts_np["label_embedding"],
+                object_A=consts_np["object_A"], place_A=consts_np["place_A"])
+            raw = ckpt.restore(step)
+            params = _conform(tparams, raw["params"])
+            bstats = _conform(tbstats, raw["batch_stats"])
+            object_inp = jax.device_put(consts_np["object_inp"])
+            place_inp = jax.device_put(consts_np["place_inp"])
+
+            def apply_fn(p, bs, batch):
+                full = dict(batch)
+                full["object_inp"] = object_inp
+                full["place_inp"] = place_inp
+                logits, _, _ = mgnns_apply(p, bs, consts, full, cfg=cfg, train=False)
+                return logits
+
+            image_size = cfg.image_size
+
+        return cls(
+            vocab=vocab, graph=graph, graph_cfg=graph_cfg, label_map=label_map,
+            apply_fn=apply_fn, params=params, batch_stats=bstats,
+            image_size=image_size, image_backend=image_backend,
+            image_root=image_root, max_batch=max_batch, text_only=text_only,
+        )
+
+
+def _conform(template, raw):
+    """Shape a template-free Orbax restore onto the model's pytree structure.
+
+    Engine checkpoints also contain opt_state, which serving ignores; and a
+    template-free restore may represent list nodes as {'0': ..., '1': ...}
+    dicts.  Walk the template and pick the matching leaf from ``raw``.
+    """
+    def pick(node, key):
+        if isinstance(node, dict):
+            return node[key] if key in node else node[str(key)]
+        return node[int(key)]
+
+    def walk(tmpl, node):
+        if isinstance(tmpl, dict):
+            return {k: walk(v, pick(node, k)) for k, v in tmpl.items()}
+        if isinstance(tmpl, (list, tuple)):
+            seq = [walk(v, pick(node, i)) for i, v in enumerate(tmpl)]
+            return type(tmpl)(seq) if isinstance(tmpl, tuple) else seq
+        return jnp.asarray(node)
+
+    return walk(template, raw)

@@ -1,0 +1,79 @@
+"""Serving/Predictor tests: checkpoint -> prediction on raw records."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/data"
+pytestmark = pytest.mark.skipif(not os.path.exists(REF), reason="reference data unavailable")
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    """Train the text slice briefly and return its checkpoint dir."""
+    from mgnns_tpu.cli.main import main
+
+    root = tmp_path_factory.mktemp("serve")
+    main([
+        "--data_root_path", REF, "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val",
+        "--text_only", "--epochs", "2", "-b", "64", "--limit_samples", "256",
+        "--lr", "2e-3",
+        "--save_model_path", str(root / "ckpt"),
+    ])
+    return str(root / "ckpt" / "mgnns_tpu")
+
+
+def test_predictor_end_to_end(trained_ckpt):
+    from mgnns_tpu.serving import Predictor
+
+    pred = Predictor.from_engine_artifacts(
+        REF, trained_ckpt, text_only=True, pmi_phase="val", max_batch=4)
+    records = [
+        {"id": "a", "text": "happy wonderful day full of joy and love"},
+        {"id": "b", "text": "sad terrible day"},
+        {"id": "c", "text": ""},  # empty text must not crash
+    ]
+    out = pred.predict(records)
+    assert len(out) == 3
+    for r in out:
+        assert r["label"] in {"angry", "bored", "calm", "fear", "happy", "love", "sad"}
+        assert abs(sum(r["probs"].values()) - 1.0) < 1e-4
+        assert np.isfinite(list(r["probs"].values())).all()
+
+
+def test_predictor_batch_padding(trained_ckpt):
+    """Requests smaller or larger than max_batch must both work."""
+    from mgnns_tpu.serving import Predictor
+
+    pred = Predictor.from_engine_artifacts(
+        REF, trained_ckpt, text_only=True, pmi_phase="val", max_batch=4)
+    records = [{"text": f"word{i} happy sad"} for i in range(7)]  # 2 chunks
+    out = pred.predict(records)
+    assert len(out) == 7
+    single = pred.predict([records[0]])
+    assert single[0]["label"] == out[0]["label"]
+
+
+def test_predict_cli(trained_ckpt, tmp_path):
+    from mgnns_tpu.cli.predict import main as predict_main
+
+    inp = tmp_path / "in.jsonl"
+    inp.write_text('{"id": "x", "text": "happy joy"}\n')
+    outp = tmp_path / "out.jsonl"
+    predict_main([
+        "--data_root_path", REF, "--checkpoint", trained_ckpt, "--text_only",
+        "--pmi_phase", "val", "--input", str(inp), "--output", str(outp),
+    ])
+    row = json.loads(outp.read_text().strip())
+    assert row["id"] == "x" and "label" in row and "probs" in row
+
+
+def test_predictor_missing_checkpoint():
+    from mgnns_tpu.serving import Predictor
+
+    with pytest.raises(FileNotFoundError):
+        Predictor.from_engine_artifacts(REF, "/tmp/definitely_missing_ckpt",
+                                        text_only=True, pmi_phase="val")
