@@ -95,6 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "--accumulation_steps flag is parsed but unused there)")
     p.add_argument("--regu_weight", type=float, default=0.0,
                    help="weight of the head-diversity penalty when --is_regu")
+    p.add_argument("--bn_mode", type=str, default="batch", choices=["batch", "frozen"],
+                   help="'batch'=torch-faithful train-mode BatchNorm; 'frozen'=running stats")
     p.add_argument("--remat_trunks", action="store_true",
                    help="jax.checkpoint the ResNet trunks (memory for FLOPs)")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -155,7 +157,7 @@ def main(argv=None) -> dict:
         place_num_classes=args.place_num_classes, object_t=args.object_t_value,
         place_t=args.place_t_value, image_size=args.image_size,
         edges_num=graph.num_edges, compute_dtype=compute_dtype,
-        remat_trunks=args.remat_trunks,
+        remat_trunks=args.remat_trunks, bn_mode=args.bn_mode,
     )
 
     mesh = None

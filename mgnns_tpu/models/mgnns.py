@@ -185,9 +185,13 @@ def _image_channel(
     Returns (memory_bank [B, 196, d], channel_vec [B, 300], new_trunk_state).
     """
     dtype = cfg.cdtype
+    # bn_mode='batch' is the torch-faithful behavior (train-mode batch stats,
+    # running-stat updates); 'frozen' always normalizes with running stats —
+    # the standard choice when fine-tuning imported trunks.
+    bn_train = train and cfg.bn_mode == "batch"
 
     def trunk_fn(tp, ts, img):
-        return resnet.resnet_apply(tp, ts, img, depth=depth, train=train, dtype=dtype)
+        return resnet.resnet_apply(tp, ts, img, depth=depth, train=bn_train, dtype=dtype)
 
     if cfg.remat_trunks:
         # rematerialize trunk activations in the backward pass (HBM for FLOPs)

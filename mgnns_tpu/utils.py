@@ -18,6 +18,13 @@ def enable_compilation_cache(path: str | None = None) -> None:
     cache_dir = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/mgnns_jax_cache")
     )
+    # Key by platform: XLA:CPU AOT entries record host CPU features and
+    # reloading them across processes with differing feature detection warns
+    # about potential SIGILL.
+    try:
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
+    except Exception:
+        pass
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -120,3 +120,15 @@ def test_text_only_model(tiny_setup):
     logits = text_model_apply(p, batch, ngram=2, train=False)
     assert logits.shape == (4, 7)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_bn_mode_frozen_keeps_stats(tiny_setup):
+    """bn_mode='frozen': train-mode forward must not touch running stats."""
+    import dataclasses
+
+    cfg, graph, params, state, consts, batch = tiny_setup
+    frozen_cfg = dataclasses.replace(cfg, bn_mode="frozen")
+    _, ns, _ = mgnns_apply(params, state, consts, batch, cfg=frozen_cfg,
+                           train=True, rng=jax.random.key(0))
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(ns)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
