@@ -47,7 +47,7 @@ def main():
 
     ref = os.environ.get("MGNNS_DATA", "/root/reference/data")
     mode = os.environ.get("MGNNS_BENCH_MODE", "full")
-    batch_size = int(os.environ.get("MGNNS_BENCH_BATCH", "64" if mode != "train" else "16"))
+    batch_size = int(os.environ.get("MGNNS_BENCH_BATCH", "128" if mode != "train" else "16"))
     n_samples = int(os.environ.get("MGNNS_BENCH_SAMPLES", "512"))
 
     graph_cfg = TextGraphConfig()
