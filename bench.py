@@ -47,7 +47,8 @@ def main():
 
     ref = os.environ.get("MGNNS_DATA", "/root/reference/data")
     mode = os.environ.get("MGNNS_BENCH_MODE", "full")
-    batch_size = int(os.environ.get("MGNNS_BENCH_BATCH", "128" if mode != "train" else "16"))
+    batch_size = int(os.environ.get(
+        "MGNNS_BENCH_BATCH", {"full": "128", "text": "64", "train": "16"}.get(mode, "128")))
     n_samples = int(os.environ.get("MGNNS_BENCH_SAMPLES", "512"))
 
     graph_cfg = TextGraphConfig()

@@ -117,3 +117,4 @@ def test_loader_shuffle_changes_order(small_ds):
     a = np.asarray(next(iter(l1))["sample_index"])
     b = np.asarray(next(iter(l1))["sample_index"])  # next epoch reshuffles
     assert not np.array_equal(a, b)
+
