@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--accumulation_steps flag is parsed but unused there)")
     p.add_argument("--regu_weight", type=float, default=0.0,
                    help="weight of the head-diversity penalty when --is_regu")
+    p.add_argument("--edges_init", type=str, default="ones", choices=["ones", "pmi"],
+                   help="text-GCN edge-weight init: trainable-from-1.0 (reference "
+                        "default, Text_GCN.py:68) or from PMI values (:72)")
     p.add_argument("--bn_mode", type=str, default="batch", choices=["batch", "frozen"],
                    help="'batch'=torch-faithful train-mode BatchNorm; 'frozen'=running stats")
     p.add_argument("--remat_trunks", action="store_true",
@@ -133,6 +136,25 @@ def main(argv=None) -> dict:
 
     vocab, graph, _ = build_text_side(args.data_root_path, graph_cfg, [], pmi_phase=args.pmi_phase)
     print(f"vocab={len(vocab)} pmi_edges={graph.num_edges - 1}")
+
+    # Pretrained vocab GloVe (reference loads data/glove_embedding/
+    # glove_embedding_{k}.pkl for both the sequence embedding and the
+    # text-GCN node table when emb_type != 'random'; build it with
+    # `prepare pack-glove --kind vocab`).
+    vocab_embedding = None
+    if args.emb_type != "random":
+        import pickle
+
+        emb_path = os.path.join(args.data_root_path, "glove_embedding",
+                                f"glove_embedding_{args.text_min_count}.pkl")
+        if os.path.exists(emb_path):
+            with open(emb_path, "rb") as f:
+                vocab_embedding = np.asarray(pickle.load(f), np.float32)
+            print(f"loaded vocab embedding {vocab_embedding.shape} from {emb_path}")
+        else:
+            print(f"note: no pretrained embedding at {emb_path}; using random init")
+    edge_weights = graph.initial_edge_weights(
+        trainable_init_one=(args.edges_init == "ones"))
 
     def make_ds(phase, train):
         records = read_anno(args.data_root_path, phase)
@@ -174,7 +196,9 @@ def main(argv=None) -> dict:
     if args.text_only:
         from mgnns_tpu.models import text_model_apply, text_model_init
 
-        params = text_model_init(key, len(vocab), args.num_labels, graph.num_edges)
+        params = text_model_init(
+            key, len(vocab), args.num_labels, graph.num_edges,
+            node_embedding=vocab_embedding, edge_weights=edge_weights)
         batch_stats = {}
 
         def apply_fn(p, bs, batch, *, train, rng):
@@ -194,6 +218,8 @@ def main(argv=None) -> dict:
             key, model_cfg, num_edges=graph.num_edges,
             label_embedding=consts_np["label_embedding"],
             object_A=consts_np["object_A"], place_A=consts_np["place_A"],
+            vocab_embedding=vocab_embedding, node_embedding=vocab_embedding,
+            edge_weights=edge_weights,
         )
         object_inp = jax.device_put(consts_np["object_inp"])
         place_inp = jax.device_put(consts_np["place_inp"])

@@ -108,3 +108,35 @@ def test_prepare_join_filter_upsample_stats(tmp_path, capsys):
     prep(["label-stats", "--input", str(joined)])
     out = capsys.readouterr().out
     assert "happy\t3" in out and "sad\t3" in out
+
+
+def test_cli_glove_embedding_and_pmi_edges(tmp_path, capsys):
+    """--emb_type glove loads the packed vocab embedding; --edges_init pmi
+    initializes edge weights from PMI values."""
+    import pickle
+    import shutil
+
+    from mgnns_tpu.cli.main import main
+
+    # stage a writable copy of the data root with a packed embedding
+    root = tmp_path / "data"
+    (root / "all_anno_json").mkdir(parents=True)
+    (root / "vocab").mkdir()
+    (root / "glove_embedding").mkdir()
+    for f in ("val_all_anno.json",):
+        shutil.copy(f"{REF}/all_anno_json/{f}", root / "all_anno_json" / f)
+    shutil.copy(f"{REF}/vocab/vocab-5.txt", root / "vocab" / "vocab-5.txt")
+    shutil.copy(f"{REF}/label.json", root / "label.json")
+    emb = np.random.default_rng(0).standard_normal((20154, 300)).astype(np.float32)
+    with open(root / "glove_embedding" / "glove_embedding_5.pkl", "wb") as f:
+        pickle.dump(emb, f)
+
+    main([
+        "--data_root_path", str(root), "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val", "--test_phase", "val",
+        "--text_only", "--epochs", "1", "-b", "32", "--limit_samples", "32",
+        "--emb_type", "glove", "--edges_init", "pmi",
+        "--save_model_path", str(tmp_path / "ckpt"),
+    ])
+    out = capsys.readouterr().out
+    assert "loaded vocab embedding (20154, 300)" in out
