@@ -156,6 +156,14 @@ def main(argv=None) -> dict:
     edge_weights = graph.initial_edge_weights(
         trainable_init_one=(args.edges_init == "ones"))
 
+    # persist preprocessing next to the checkpoints so serving
+    # (mgnns_tpu.serving.Predictor) is self-contained
+    from mgnns_tpu.serving import save_preproc
+
+    label_map = json.load(open(os.path.join(args.data_root_path, "label.json")))
+    ckpt_dir = os.path.join(args.save_model_path, args.model_name)
+    save_preproc(ckpt_dir, vocab, graph, label_map, graph_cfg)
+
     def make_ds(phase, train):
         records = read_anno(args.data_root_path, phase)
         if args.limit_samples:
@@ -254,11 +262,15 @@ def main(argv=None) -> dict:
         device_put = lambda b: batch_device_put(b, mesh)
 
     def loader(ds, shuffle):
-        return lambda: DeviceLoader(
+        # ONE loader per split: its internal epoch counter advances every
+        # iteration so shuffling order and augmentation draws differ each
+        # epoch (a fresh instance per epoch would replay epoch 0 forever).
+        ld = DeviceLoader(
             ds, args.batch_size, shuffle=shuffle, seed=args.seed,
             num_threads=args.workers, with_images=with_images,
             device_put=device_put,
         )
+        return lambda: ld
 
     run_config = {
         "text_min_count": args.text_min_count, "ngram": args.ngram,

@@ -66,6 +66,7 @@ class TumblrDataset:
         records: list[dict] | None = None,
         pixel_format: str = "uint8",
         cache_images: bool = True,
+        cache_limit_bytes: int = 4 << 30,
     ):
         self.cfg = data_cfg
         self.phase = phase
@@ -80,6 +81,10 @@ class TumblrDataset:
             not train_transforms or data_cfg.image_backend == "synthetic"
         )
         self._image_cache: dict[int, np.ndarray] = {}
+        # hard cap on cached bytes: full-resolution train splits would
+        # otherwise grow the cache unboundedly (~600 KB/sample at 448 uint8)
+        self._cache_limit_bytes = cache_limit_bytes
+        self._cache_bytes = 0
         self.records = records if records is not None else read_anno(data_cfg.data_root_path, phase)
         self.text = TextCorpus.build(self.records, vocab, graph, graph_cfg)
         label_path = os.path.join(data_cfg.data_root_path, "label.json")
@@ -110,6 +115,7 @@ class TumblrDataset:
             backend=self.cfg.image_backend,
             sample_key=str(rec.get("id", i)),
         )
-        if self._cache_ok:
+        if self._cache_ok and self._cache_bytes + img.nbytes <= self._cache_limit_bytes:
             self._image_cache[i] = img
+            self._cache_bytes += img.nbytes
         return img

@@ -97,8 +97,9 @@ def synthetic_image(key: str, size: int) -> np.ndarray:
     y = np.linspace(0, 1, size, dtype=np.float32)
     base = np.outer(y, y)[..., None] * g.uniform(0.2, 0.8, (1, 1, 3)).astype(np.float32)
     small = max(size // 8, 1)
+    factor = -(-size // small)  # ceil: cover any size, then crop
     coarse = g.normal(0, 0.05, (small, small, 3)).astype(np.float32)
-    noise = np.repeat(np.repeat(coarse, size // small, 0), size // small, 1)[:size, :size]
+    noise = np.repeat(np.repeat(coarse, factor, 0), factor, 1)[:size, :size]
     return normalize(np.clip(base + noise + 0.3, 0.0, 1.0))
 
 
@@ -109,8 +110,9 @@ def synthetic_image_uint8(key: str, size: int) -> np.ndarray:
     y = np.linspace(0, 1, size, dtype=np.float32)
     base = np.outer(y, y)[..., None] * g.uniform(0.2, 0.8, (1, 1, 3)).astype(np.float32)
     small = max(size // 8, 1)
+    factor = -(-size // small)  # ceil: cover any size, then crop
     coarse = g.normal(0, 0.05, (small, small, 3)).astype(np.float32)
-    noise = np.repeat(np.repeat(coarse, size // small, 0), size // small, 1)[:size, :size]
+    noise = np.repeat(np.repeat(coarse, factor, 0), factor, 1)[:size, :size]
     return (np.clip(base + noise + 0.3, 0.0, 1.0) * 255).astype(np.uint8)
 
 
@@ -149,8 +151,9 @@ def load_image_uint8(path: str, *, size: int, train: bool, rng: random.Random | 
             with Image.open(path) as im:
                 im = im.convert("RGB")
                 if train:
-                    im = multi_scale_crop(im, size, rng or random.Random(0))
-                    if (rng or random.Random(0)).random() < 0.5:
+                    r = rng or random.Random(0)  # one rng for crop AND flip
+                    im = multi_scale_crop(im, size, r)
+                    if r.random() < 0.5:
                         im = im.transpose(0)
                 else:
                     im = warp(im, size)

@@ -102,6 +102,18 @@ class DeviceLoader:
         q: queue.Queue = queue.Queue(maxsize=3)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded-queue put that never blocks forever: if the consumer
+            # abandoned the epoch, observe `stop` and bail (otherwise the
+            # producer thread + its pool leak on every early exit)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             # Host-side work only: JAX dispatch is not thread-safe against the
             # consumer's jitted execution (deadlocks observed over the axon
@@ -111,10 +123,11 @@ class DeviceLoader:
                 for chunk in chunks:
                     if stop.is_set():
                         return
-                    q.put(self._assemble(chunk, pool, rng))
-                q.put(None)
+                    if not put_or_stop(self._assemble(chunk, pool, rng)):
+                        return
+                put_or_stop(None)
             except BaseException as e:  # surface producer errors to consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
                 if pool is not None:
                     pool.shutdown(wait=False, cancel_futures=True)

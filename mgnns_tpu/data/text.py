@@ -33,6 +33,30 @@ def read_anno(data_root_path: str, phase: str) -> list[dict]:
     return records
 
 
+def encode_texts(
+    texts: list[str],
+    w2i: dict[str, int],
+    graph: PmiGraph,
+    cfg: TextGraphConfig,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize + pad + mask + window-edge-id encode: the single source of
+    truth shared by training (TextCorpus.build) and serving
+    (mgnns_tpu.serving.Predictor) so their preprocessing can never diverge.
+
+    Returns (ids [N, L], lens [N], mask [N, L], eids [N, L, W])."""
+    L = cfg.max_len
+    N = len(texts)
+    ids = np.zeros((N, L), np.int32)
+    lens = np.zeros((N,), np.int32)
+    for n, text in enumerate(texts):
+        toks = words_to_ids(text.split(" "), w2i)[:L]
+        ids[n, : len(toks)] = toks
+        lens[n] = max(len(toks), 1)
+    mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float32)
+    eids = doc_window_edge_ids(ids, lens, cfg.ngram, graph)
+    return ids, lens, mask, eids
+
+
 @dataclasses.dataclass
 class TextCorpus:
     """Tokenized, padded split plus its per-doc graph tensors."""
@@ -54,19 +78,8 @@ class TextCorpus:
         cfg: TextGraphConfig,
     ) -> "TextCorpus":
         w2i = make_word_to_id(vocab)
-        L = cfg.max_len
-        N = len(records)
-        ids = np.zeros((N, L), np.int32)
-        lens = np.zeros((N,), np.int32)
-        texts = []
-        for n, rec in enumerate(records):
-            text = rec["text"]
-            texts.append(text)
-            toks = words_to_ids(text.split(" "), w2i)[:L]
-            ids[n, : len(toks)] = toks
-            lens[n] = max(len(toks), 1)
-        mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float32)
-        eids = doc_window_edge_ids(ids, lens, cfg.ngram, graph)
+        texts = [rec["text"] for rec in records]
+        ids, lens, mask, eids = encode_texts(texts, w2i, graph, cfg)
         return cls(ids=ids, lens=lens, mask=mask, eids=eids,
                    texts=texts, vocab=vocab, graph=graph)
 

@@ -5,10 +5,17 @@ best-model copies (``engine/Multi_GCN_Multihead_Att_engine.py:624-643``,
 resume at ``:347-357``).  Improvements over the reference: the optimizer
 state and step counter are checkpointed too (the reference silently dropped
 optimizer state), and saves are atomic.
+
+Retention policy: keep the newest ``max_to_keep`` steps PLUS the best step
+(by val accuracy), pruned manually after each save.  (Orbax's built-in
+``best_fn`` retention keeps only the best-N, which can garbage-collect the
+*latest* checkpoint and make resume silently roll training back to an old
+epoch.)  The best step is tracked in ``<dir>/best.json``.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -18,33 +25,55 @@ import orbax.checkpoint as ocp
 
 
 class Checkpointer:
-    """Thin wrapper over an Orbax CheckpointManager.
-
-    Layout: ``<directory>/<step>/...`` for periodic saves plus a tracked
-    best step (by val accuracy, like the reference's ``model_best.pth.tar``).
-    """
-
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self.max_to_keep = max_to_keep
+        self._best_path = os.path.join(self.directory, "best.json")
         self._mgr = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep,
-                best_fn=lambda m: m.get("val_accuracy", 0.0),
-                best_mode="max",
-            ),
+            options=ocp.CheckpointManagerOptions(max_to_keep=None),
         )
 
+    # ----------------------------------------------------------------- best
+
+    def _read_best(self) -> dict | None:
+        if os.path.exists(self._best_path):
+            with open(self._best_path) as f:
+                return json.load(f)
+        return None
+
+    def best_step(self) -> int | None:
+        best = self._read_best()
+        return None if best is None else int(best["step"])
+
+    # ----------------------------------------------------------------- save
+
     def save(self, step: int, state: Any, metrics: dict | None = None) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics or {})
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
+        score = (metrics or {}).get("val_accuracy")
+        if score is not None:
+            best = self._read_best()
+            if best is None or score > best["score"]:
+                with open(self._best_path, "w") as f:
+                    json.dump({"step": int(step), "score": float(score)}, f)
+        self._prune()
+
+    def _prune(self) -> None:
+        steps = sorted(self._mgr.all_steps())
+        keep = set(steps[-self.max_to_keep:]) if self.max_to_keep else set(steps)
+        best = self.best_step()
+        if best is not None:
+            keep.add(best)
+        for s in steps:
+            if s not in keep:
+                self._mgr.delete(s)
+
+    # -------------------------------------------------------------- restore
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
-
-    def best_step(self) -> int | None:
-        return self._mgr.best_step()
 
     def restore(self, step: int | None = None, template: Any | None = None) -> Any:
         if step is None:

@@ -253,7 +253,6 @@ class Engine:
                 f"acc {va['accuracy']:.4f} macroF1 {va['macro_f1']:.4f}"
             )
             history.append({"epoch": epoch, "train": tr, "val": va})
-            is_best = va["accuracy"] > self.best_score
             self.best_score = max(self.best_score, va["accuracy"])
             if self.checkpointer is not None:
                 self.save(metrics={"val_accuracy": va["accuracy"]})

@@ -27,9 +27,9 @@ import numpy as np
 
 from mgnns_tpu.config import DataConfig, ModelConfig, TextGraphConfig
 from mgnns_tpu.data import images as I
-from mgnns_tpu.data.text import build_text_side
-from mgnns_tpu.graphs.pmi import doc_window_edge_ids
-from mgnns_tpu.graphs.vocab import make_word_to_id, words_to_ids
+from mgnns_tpu.data.text import build_text_side, encode_texts
+from mgnns_tpu.graphs.pmi import PmiGraph
+from mgnns_tpu.graphs.vocab import make_word_to_id
 
 
 class Predictor:
@@ -48,6 +48,7 @@ class Predictor:
         image_root: str = ".",
         max_batch: int = 16,
         text_only: bool = False,
+        strict_images: bool = True,
     ):
         self.vocab = vocab
         self.graph = graph
@@ -61,6 +62,9 @@ class Predictor:
         self.image_root = image_root
         self.max_batch = max_batch
         self.text_only = text_only
+        # strict: a missing/corrupt image raises instead of silently
+        # substituting the deterministic synthetic fallback pixels
+        self.strict_images = strict_images
 
         def fwd(p, bs, batch):
             logits = apply_fn(p, bs, batch)
@@ -71,22 +75,25 @@ class Predictor:
     # ------------------------------------------------------------- preproc
 
     def _encode_text(self, texts: list[str]):
-        L = self.graph_cfg.max_len
-        B = len(texts)
-        ids = np.zeros((B, L), np.int32)
-        lens = np.zeros((B,), np.int32)
-        for n, t in enumerate(texts):
-            toks = words_to_ids(t.split(" "), self.w2i)[:L]
-            ids[n, : len(toks)] = toks
-            lens[n] = max(len(toks), 1)
-        eids = doc_window_edge_ids(ids, lens, self.graph_cfg.ngram, self.graph)
-        mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float32)
-        return ids, lens, mask, eids
+        # shared with training (data/text.py) so preprocessing cannot diverge
+        return encode_texts(texts, self.w2i, self.graph, self.graph_cfg)
 
     def _encode_images(self, records: list[dict]):
         imgs = []
-        for rec in records:
+        for i, rec in enumerate(records):
             path = os.path.join(self.image_root, rec.get("image", ""))
+            if self.strict_images and self.image_backend == "pil":
+                try:
+                    from PIL import Image
+
+                    with Image.open(path) as im:
+                        im.verify()
+                except (FileNotFoundError, OSError) as e:
+                    raise ValueError(
+                        f"record {i} (id={rec.get('id')!r}): image "
+                        f"{path!r} is missing or unreadable ({e}); pass "
+                        f"strict_images=False to substitute synthetic pixels"
+                    ) from e
             imgs.append(I.load_image_uint8(
                 path, size=self.image_size, train=False, rng=random.Random(0),
                 backend=self.image_backend, sample_key=str(rec.get("id", rec.get("text", ""))),
@@ -147,13 +154,24 @@ class Predictor:
         image_root: str = ".",
         max_batch: int = 16,
         step: int | None = None,
+        strict_images: bool = True,
     ) -> "Predictor":
-        """Rebuild preprocessing from the data root and restore the latest
-        (or given) engine checkpoint written by the training CLI."""
-        graph_cfg = graph_cfg or TextGraphConfig()
-        vocab, graph, _ = build_text_side(data_root, graph_cfg, [], pmi_phase=pmi_phase)
-        with open(os.path.join(data_root, "label.json")) as f:
-            label_map = json.load(f)
+        """Restore a Predictor from an engine checkpoint.
+
+        Preprocessing state (vocab, PMI graph, label map, graph config) is
+        loaded from the ``preproc`` artifacts the training CLI persists next
+        to the checkpoints — so deployment does not need (or re-scan) the
+        training corpus and cannot silently drift from the ids training saw.
+        Falls back to rebuilding from ``data_root`` for old checkpoints.
+        """
+        pre = load_preproc(checkpoint_dir)
+        if pre is not None:
+            vocab, graph, label_map, graph_cfg = pre
+        else:
+            graph_cfg = graph_cfg or TextGraphConfig()
+            vocab, graph, _ = build_text_side(data_root, graph_cfg, [], pmi_phase=pmi_phase)
+            with open(os.path.join(data_root, "label.json")) as f:
+                label_map = json.load(f)
 
         from mgnns_tpu.engine.checkpoint import Checkpointer
 
@@ -213,7 +231,46 @@ class Predictor:
             apply_fn=apply_fn, params=params, batch_stats=bstats,
             image_size=image_size, image_backend=image_backend,
             image_root=image_root, max_batch=max_batch, text_only=text_only,
+            strict_images=strict_images,
         )
+
+
+PREPROC_NPZ = "preproc.npz"
+PREPROC_JSON = "preproc.json"
+
+
+def save_preproc(checkpoint_dir: str, vocab, graph, label_map, graph_cfg) -> None:
+    """Persist the preprocessing state alongside engine checkpoints (called
+    by the training CLI) so serving is self-contained."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    np.savez_compressed(os.path.join(checkpoint_dir, PREPROC_NPZ),
+                        keys=graph.keys, pmi=graph.pmi,
+                        vocab_size=graph.vocab_size)
+    with open(os.path.join(checkpoint_dir, PREPROC_JSON), "w") as f:
+        json.dump({
+            "vocab": vocab, "label_map": label_map,
+            "graph_cfg": {
+                "text_min_count": graph_cfg.text_min_count,
+                "window_size": graph_cfg.window_size,
+                "ngram": graph_cfg.ngram,
+                "min_cooccurrence": graph_cfg.min_cooccurrence,
+                "max_len": graph_cfg.max_len,
+            },
+        }, f)
+
+
+def load_preproc(checkpoint_dir: str):
+    """(vocab, graph, label_map, graph_cfg) or None when absent."""
+    npz_path = os.path.join(checkpoint_dir, PREPROC_NPZ)
+    json_path = os.path.join(checkpoint_dir, PREPROC_JSON)
+    if not (os.path.exists(npz_path) and os.path.exists(json_path)):
+        return None
+    z = np.load(npz_path)
+    graph = PmiGraph(int(z["vocab_size"]), z["keys"], z["pmi"])
+    with open(json_path) as f:
+        meta = json.load(f)
+    return (meta["vocab"], graph, meta["label_map"],
+            TextGraphConfig(**meta["graph_cfg"]))
 
 
 def _conform(template, raw):

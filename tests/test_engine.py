@@ -256,3 +256,22 @@ def test_faithful_groups_freeze_unlisted_end_to_end():
         eng.train_epoch(loader())
     np.testing.assert_array_equal(np.asarray(eng.state.params["head"]["w"]), head0)
     assert not np.allclose(np.asarray(eng.state.params["text_gcn"]["node_embedding"]), emb0)
+
+
+def test_checkpoint_retention_keeps_best_and_latest(tmp_path):
+    """The best-by-val-accuracy checkpoint must survive pruning, and
+    latest_step() must track the newest save (resume must not roll back)."""
+    from mgnns_tpu.engine.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "ck"), max_to_keep=2)
+    state = {"w": jnp.ones((3,))}
+    scores = {1: 0.2, 2: 0.9, 3: 0.5, 4: 0.4, 5: 0.3}  # best at step 2
+    for step, s in scores.items():
+        ck.save(step, state, metrics={"val_accuracy": s})
+    assert ck.latest_step() == 5            # resume continues from the newest
+    assert ck.best_step() == 2              # best survives...
+    kept = sorted(ck._mgr.all_steps())
+    assert 2 in kept and 5 in kept and 4 in kept
+    assert len(kept) == 3                   # best + latest 2
+    restored = ck.restore(2, {"w": jnp.zeros((3,))})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), 1.0)
