@@ -192,10 +192,11 @@ def doc_window_edge_ids(
       recomputed on device from ``lengths``).
     """
     doc_ids = np.asarray(doc_ids)
+    lengths = np.asarray(lengths)
     from mgnns_tpu import native
 
     if native.available():
-        return native.window_edge_ids(doc_ids, np.asarray(lengths), ngram,
+        return native.window_edge_ids(doc_ids, lengths, ngram,
                                       graph.keys, graph.vocab_size)
     N, L = doc_ids.shape
     W = 2 * ngram + 1

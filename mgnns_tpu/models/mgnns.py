@@ -43,7 +43,14 @@ import numpy as np
 from mgnns_tpu.config import ModelConfig
 from mgnns_tpu.graphs.cooccur import gen_adj
 from mgnns_tpu.nn import attention, image_gcn, lstm, resnet, text_gcn
-from mgnns_tpu.nn.core import RngStream, dropout, embedding_init, linear_apply, linear_init
+from mgnns_tpu.nn.core import (
+    RngStream,
+    dropout,
+    embedding_init,
+    leaky_relu,
+    linear_apply,
+    linear_init,
+)
 
 # ImageNet statistics (reference Multi_GCN_Multihead_att.py:350-351)
 _IMAGE_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -116,12 +123,8 @@ def mgnns_init(
     p["gc1"] = image_gcn.graph_conv_init(ks[7], cfg.in_channel, cfg.gcn_hidden)
     p["gc2"] = image_gcn.graph_conv_init(ks[8], cfg.gcn_hidden, cfg.gcn_out)
 
-    p["object_attention"] = attention.label_attention_init(
-        ks[9], 300, cfg.object_num_classes, cfg.num_labels
-    )
-    p["place_attention"] = attention.label_attention_init(
-        ks[10], 300, cfg.place_num_classes, cfg.num_labels
-    )
+    p["object_attention"] = attention.label_attention_init(ks[9], 300, cfg.object_num_classes)
+    p["place_attention"] = attention.label_attention_init(ks[10], 300, cfg.place_num_classes)
     p["object_linear_5"] = linear_init(ks[11], 300, 100)
     p["object_x_linear"] = linear_init(ks[12], cfg.num_labels * 100, 300)
     p["place_linear_5"] = linear_init(ks[13], 300, 100)
@@ -206,7 +209,7 @@ def _image_channel(
 
     adj = jax.lax.stop_gradient(gen_adj(A))  # reference detaches (:461)
     x = image_gcn.graph_conv_apply(gc1, inp, adj)
-    x = jnp.where(x >= 0, x, 0.2 * x)  # LeakyReLU(0.2)
+    x = leaky_relu(x)  # reference nn.LeakyReLU(0.2)
     x = image_gcn.graph_conv_apply(gc2, x, adj)          # [C_cls, 2048]
     x = pooled @ x.T                                      # [B, C_cls]
 

@@ -9,8 +9,9 @@ Loads ``native/libhost_preproc.so`` (built by ``make -C native``), exposing:
   (the native path of
   :func:`mgnns_tpu.graphs.pmi.doc_window_edge_ids`).
 
-Every entry point has a numpy fallback, selected automatically when the
-shared library is missing; ``available()`` reports which path is active.
+``pmi_pair_count`` falls back to numpy when the library is missing;
+``window_edge_ids``'s numpy fallback lives at its sole caller
+(``graphs.pmi.doc_window_edge_ids``).  ``available()`` reports the state.
 The library is built on demand the first time it's requested if a compiler
 is present.
 """
@@ -73,7 +74,7 @@ def _ptr(a, ctype):
 # Below this many candidate pairs the vectorized numpy concat+unique pass is
 # faster than the C++ hash (measured: 0.21s vs 0.64s on 10k TumEmo docs);
 # above it, numpy's O(pairs) temporary arrays become the memory bottleneck
-# and the constant-memory native counter wins.
+# and the bounded-memory native counter wins.
 _NATIVE_PAIR_THRESHOLD = 50_000_000
 
 
@@ -86,18 +87,26 @@ def pmi_pair_count(ids: np.ndarray, vocab_size: int, window: int):
     candidate_pairs = N * L * 2 * window
     lib = _load() if candidate_pairs > _NATIVE_PAIR_THRESHOLD else None
     if lib is not None:
-        cap = max(int(N * L * (2 * window)), 1024)
-        out_keys = np.empty(cap, np.int64)
-        out_counts = np.empty(cap, np.int64)
-        wc = np.zeros(vocab_size, np.int64)
-        n = lib.pmi_pair_count(
-            _ptr(ids, ctypes.c_int32), N, L, vocab_size, window,
-            _ptr(out_keys, ctypes.c_int64), _ptr(out_counts, ctypes.c_int64),
-            cap, _ptr(wc, ctypes.c_int64),
-        )
-        if n >= 0:
-            order = np.argsort(out_keys[:n], kind="stable")
-            return out_keys[:n][order], out_counts[:n][order], wc
+        # Size the table to an estimate of DISTINCT pairs (natural-language
+        # co-occurrence is heavy-tailed), growing on overflow — sizing to the
+        # worst case would allocate tens of GB exactly in the large-corpus
+        # regime this path exists for.
+        cap = int(max(1 << 20, min(candidate_pairs // 8, 1 << 23)))
+        while True:
+            out_keys = np.empty(cap, np.int64)
+            out_counts = np.empty(cap, np.int64)
+            wc = np.zeros(vocab_size, np.int64)
+            n = lib.pmi_pair_count(
+                _ptr(ids, ctypes.c_int32), N, L, vocab_size, window,
+                _ptr(out_keys, ctypes.c_int64), _ptr(out_counts, ctypes.c_int64),
+                cap, _ptr(wc, ctypes.c_int64),
+            )
+            if n >= 0:
+                order = np.argsort(out_keys[:n], kind="stable")
+                return out_keys[:n][order], out_counts[:n][order], wc
+            if cap >= candidate_pairs:  # cannot overflow beyond the true bound
+                break
+            cap = min(cap * 4, candidate_pairs)
     # numpy fallback (same algorithm as graphs.pmi.cal_pmi)
     src_valid = ids > 0
     wc = np.bincount(ids[src_valid].ravel(), minlength=vocab_size).astype(np.int64)
@@ -118,31 +127,26 @@ def pmi_pair_count(ids: np.ndarray, vocab_size: int, window: int):
 
 def window_edge_ids(ids: np.ndarray, lens: np.ndarray, ngram: int,
                     sorted_keys: np.ndarray, vocab_size: int) -> np.ndarray:
-    """[N, L, 2*ngram+1] edge-id tensor; native binary search when available."""
+    """[N, L, 2*ngram+1] edge-id tensor via the native binary search.
+
+    The numpy fallback lives in ONE place —
+    :func:`mgnns_tpu.graphs.pmi.doc_window_edge_ids`, which is also the only
+    caller and dispatches here exclusively when :func:`available` — so this
+    raises rather than carrying a drift-prone duplicate of that loop."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native library unavailable; use graphs.pmi.doc_window_edge_ids")
     ids = np.ascontiguousarray(ids, np.int32)
     lens = np.ascontiguousarray(lens, np.int32)
     sorted_keys = np.ascontiguousarray(sorted_keys, np.int64)
     N, L = ids.shape
     W = 2 * ngram + 1
-    lib = _load()
-    if lib is not None:
-        out = np.empty((N, L, W), np.int32)
-        lib.window_edge_ids(
-            _ptr(ids, ctypes.c_int32), _ptr(lens, ctypes.c_int32),
-            N, L, ngram,
-            _ptr(sorted_keys, ctypes.c_int64), len(sorted_keys),
-            vocab_size, _ptr(out, ctypes.c_int32),
-        )
-        return out
-    # pure-numpy fallback (mirrors graphs.pmi.doc_window_edge_ids's loop)
-    from mgnns_tpu.graphs.pmi import PmiGraph
-
-    graph = PmiGraph(vocab_size, sorted_keys, np.zeros(len(sorted_keys), np.float32))
-    out = np.zeros((N, L, W), np.int32)
-    pos = np.arange(L)
-    for k, o in enumerate(range(-ngram, ngram + 1)):
-        s_pos = np.clip(pos + o, 0, L - 1)
-        eid = graph.lookup(ids[:, s_pos], ids)
-        valid = ((pos + o) >= 0) & ((pos + o) < lens[:, None]) & (pos < lens[:, None])
-        out[:, :, k] = np.where(valid, eid, 0)
+    out = np.empty((N, L, W), np.int32)
+    lib.window_edge_ids(
+        _ptr(ids, ctypes.c_int32), _ptr(lens, ctypes.c_int32),
+        N, L, ngram,
+        _ptr(sorted_keys, ctypes.c_int64), len(sorted_keys),
+        vocab_size, _ptr(out, ctypes.c_int32),
+    )
     return out

@@ -68,8 +68,11 @@ def head_diversity(output_heads: jnp.ndarray) -> jnp.ndarray:
     x = output_heads / jnp.sqrt(
         jnp.sum(output_heads**2, axis=-1, keepdims=True) + 1e-12
     )
-    cos = jnp.einsum("bhd,bgd->bhg", x, x)
     n_head = output_heads.shape[1]
+    if n_head < 2:
+        # no cross-head pairs to decorrelate; 0/0 would NaN the loss
+        return jnp.zeros(output_heads.shape[0], output_heads.dtype)
+    cos = jnp.einsum("bhd,bgd->bhg", x, x)
     cos = cos * (1.0 - jnp.eye(n_head, dtype=cos.dtype))
     cos2 = cos**2
     return cos2.sum(axis=(1, 2)) / (n_head * (n_head - 1))
@@ -218,8 +221,10 @@ my_another_mha_apply = my_mha_apply
 
 
 def label_attention_init(
-    key: jax.Array, hid_dim: int, image_dim: int, num_labels: int, dtype=jnp.float32
+    key: jax.Array, hid_dim: int, image_dim: int, dtype=jnp.float32
 ) -> dict:
+    """The query count (num_labels) is not a parameter shape — queries come
+    from the label-embedding constant at apply time."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
         "w_q": linear_init(k1, hid_dim, hid_dim, dtype=dtype),

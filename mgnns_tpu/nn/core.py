@@ -9,6 +9,8 @@ deviation with eps added to std (not to variance).
 
 from __future__ import annotations
 
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,8 +21,13 @@ import numpy as np
 
 
 def fold(key: jax.Array, name: str) -> jax.Array:
-    """Derive a named sub-key deterministically from ``key``."""
-    h = np.uint32(abs(hash(name)) % (2**31 - 1))
+    """Derive a named sub-key deterministically from ``key``.
+
+    Uses crc32, NOT Python's ``hash`` — str hashing is salted per process, so
+    hash-derived fold-in constants would make dropout masks irreproducible
+    under a fixed seed and would diverge across hosts in multi-host SPMD.
+    """
+    h = np.uint32(zlib.crc32(name.encode()))
     return jax.random.fold_in(key, h)
 
 

@@ -123,7 +123,7 @@ def naive_label_attention(p, query, key, value, n_heads):
 
 def test_label_attention_matches_naive(rng):
     C, hid, img_dim, B, H = 7, 300, 80, 3, 5
-    p = attn.label_attention_init(jax.random.key(3), hid, img_dim, C)
+    p = attn.label_attention_init(jax.random.key(3), hid, img_dim)
     q = rng.standard_normal((C, hid)).astype(np.float32)
     kv = rng.standard_normal((B, img_dim)).astype(np.float32)
     ours = np.asarray(attn.label_attention_apply(p, jnp.asarray(q), jnp.asarray(kv), jnp.asarray(kv),
