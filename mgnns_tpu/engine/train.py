@@ -141,6 +141,7 @@ class Engine:
             (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            cm_weight = batch["weight"]
             if self.nan_guard:
                 ok = jnp.isfinite(loss)
                 keep = lambda new, old: jax.tree_util.tree_map(
@@ -148,8 +149,10 @@ class Engine:
                 new_params = keep(new_params, state.params)
                 new_opt = keep(new_opt, state.opt_state)
                 new_bs = keep(new_bs, state.batch_stats)
+                # a skipped step must not pollute epoch metrics either
+                cm_weight = cm_weight * ok.astype(cm_weight.dtype)
             preds = jnp.argmax(logits, axis=-1)
-            cm = M.confusion_update(cm, preds, batch["label"], batch["weight"])
+            cm = M.confusion_update(cm, preds, batch["label"], cm_weight)
             new_state = TrainState(new_params, new_bs, new_opt, state.step + 1, state.rng)
             return new_state, loss, cm
 
@@ -191,13 +194,14 @@ class Engine:
 
     def eval_epoch(self, loader: Iterable[dict], collect_preds: bool = False) -> dict:
         cm = M.confusion_init(self.num_classes)
-        losses, all_preds, all_ids, all_tgts = [], [], [], []
+        losses, wsums, all_preds, all_ids, all_tgts = [], [], [], [], []
         t0 = time.time()
         n = 0
         for batch in loader:
             loss, preds, cm = self._eval_step(self.state.params, self.state.batch_stats, batch, cm)
             losses.append(loss)
-            n += int(np.asarray(batch["weight"]).sum())
+            wsums.append(float(np.asarray(batch["weight"]).sum()))
+            n += int(wsums[-1])
             if collect_preds:
                 w = np.asarray(batch["weight"]).astype(bool)
                 all_preds.append(np.asarray(preds)[w])
@@ -206,7 +210,14 @@ class Engine:
                     all_ids.append(np.asarray(batch["sample_index"])[w])
         dt = time.time() - t0
         out = M.metrics_from_confusion(cm)
-        out["loss"] = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        # weight each batch-mean loss by its valid-sample count (the last
+        # batch is usually short; an unweighted mean would over-count it)
+        if losses:
+            lv = np.array([float(l) for l in losses])
+            wv = np.array(wsums)
+            out["loss"] = float((lv * wv).sum() / max(wv.sum(), 1.0))
+        else:
+            out["loss"] = 0.0
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
         out["confusion"] = np.asarray(cm)
         if collect_preds:

@@ -72,23 +72,62 @@ def resolve_spec(path_string: str, rules: list[tuple[str, P]]) -> P:
     return P()
 
 
-def shard_pytree(tree, mesh: Mesh, rules: list[tuple[str, P]]):
+# Gather tables whose leading axis may be zero-padded to a mesh-axis
+# multiple: rows past the real size are never indexed (token/edge ids are
+# < V / < E), receive zero gradient, and round-trip through checkpoints.
+# This is what makes the 'model'-axis rules REAL at flagship sizes — the
+# reference vocab is 20,153 (odd) and E ≈ 166k+1, so without padding every
+# table would silently fall back to replication on any model axis >= 2.
+_PADDABLE_TABLES = (
+    r"text_gcn/node_embedding",
+    r"text_gcn/edge_weight",
+    r"embedding/table",
+)
+
+
+def _is_paddable(path_string: str) -> bool:
+    return any(re.fullmatch(p, path_string) for p in _PADDABLE_TABLES)
+
+
+def pad_dim_to_multiple(leaf, dim: int, multiple: int):
+    """Zero-pad ``leaf`` along ``dim`` up to the next multiple."""
+    import jax.numpy as jnp
+
+    rem = leaf.shape[dim] % multiple
+    if rem == 0:
+        return leaf
+    widths = [(0, 0)] * leaf.ndim
+    widths[dim] = (0, multiple - rem)
+    return jnp.pad(leaf, widths)
+
+
+def shard_pytree(tree, mesh: Mesh, rules: list[tuple[str, P]], *, pad_tables: bool = True):
     """device_put every leaf with the NamedSharding its path resolves to.
 
-    Leaves whose matched spec does not divide their shape evenly fall back to
-    replication (XLA would pad, but even sharding keeps layouts predictable).
+    Gather tables (``_PADDABLE_TABLES``) whose leading dim does not divide the
+    mesh axis are zero-padded up to the next multiple so they actually shard.
+    Any other leaf whose matched spec does not divide its shape evenly falls
+    back to replication (padding a matmul operand would corrupt the
+    contraction; padding a gather table is free).
     """
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
     def place(path, leaf):
         ps = _path_str(path)
         spec = resolve_spec(ps, rules)
         if spec != P():
-            axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
             for dim, name in enumerate(spec):
                 if name is None:
                     continue
-                if dim >= leaf.ndim or leaf.shape[dim] % axis_sizes[name] != 0:
+                if dim >= leaf.ndim:
                     spec = P()
                     break
+                if leaf.shape[dim] % axis_sizes[name] != 0:
+                    if pad_tables and dim == 0 and _is_paddable(ps):
+                        leaf = pad_dim_to_multiple(leaf, dim, axis_sizes[name])
+                    else:
+                        spec = P()
+                        break
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, tree)

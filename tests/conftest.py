@@ -21,6 +21,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Share the persistent compilation cache with bench/CLI/dryrun processes:
+# the heavy fusion-model compiles (minutes cold on CPU) are paid once.
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mgnns_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -240,10 +240,40 @@ def test_nan_guard_skips_bad_update():
     eng.state, loss, cm = eng._train_step(eng.state, bad, cm)
     assert not np.isfinite(float(loss))
     np.testing.assert_array_equal(np.asarray(eng.state.params["gc1"]["w"]), w0)
+    # the skipped step must not have polluted the confusion matrix either
+    assert int(np.asarray(cm).sum()) == 0
     # good batch still updates
     eng.state, loss, cm = eng._train_step(eng.state, good, cm)
     assert np.isfinite(float(loss))
     assert not np.allclose(np.asarray(eng.state.params["gc1"]["w"]), w0)
+    assert int(np.asarray(cm).sum()) == 1
+
+
+def test_eval_loss_weighted_by_batch_size():
+    """eval_epoch's epoch loss must weight batch means by valid-sample count
+    (a short trailing batch must not be over-counted)."""
+    import jax.numpy as jnp
+
+    def apply_fn(p, bs, batch, *, train, rng):
+        # per-sample loss == z via logits [z, 0] and label 1:
+        # CE = log(1 + e^z) ~ z for large z; use exact construction instead:
+        B = batch["label"].shape[0]
+        logits = jnp.stack([batch["z"], jnp.zeros_like(batch["z"])], -1)
+        return logits, bs
+
+    params = {"w": jnp.ones((1,))}
+    eng = Engine(apply_fn, params, {}, num_classes=2, steps_per_epoch=1)
+    # batch 1: 4 valid samples, z=0 -> loss ln2; batch 2: 1 valid sample
+    # (3 pad rows), z=0 -> loss ln2.  Weighted or not, mean = ln2; now make
+    # batch 2 differ: z big -> CE(label=1) = ln(1+e^z) ≈ z.
+    b1 = {"z": jnp.zeros((4,)), "label": jnp.ones((4,), jnp.int32),
+          "weight": jnp.ones((4,), jnp.float32)}
+    b2 = {"z": jnp.full((4,), 10.0), "label": jnp.ones((4,), jnp.int32),
+          "weight": jnp.array([1, 0, 0, 0], jnp.float32)}
+    out = eng.eval_epoch([b1, b2])
+    ln2 = float(np.log(2.0))
+    expected = (4 * ln2 + 1 * float(np.log1p(np.exp(10.0)))) / 5
+    assert abs(out["loss"] - expected) < 1e-4
 
 
 def test_faithful_groups_freeze_unlisted_end_to_end():
