@@ -102,6 +102,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'batch'=torch-faithful train-mode BatchNorm; 'frozen'=running stats")
     p.add_argument("--remat_trunks", action="store_true",
                    help="jax.checkpoint the ResNet trunks (memory for FLOPs)")
+    p.add_argument("--unroll_trunks", action="store_true",
+                   help="unroll the per-stage residual-block scans: slower "
+                        "compile, ~19%% faster ResNet-101 backward")
+    p.add_argument("--freeze_trunks", action="store_true",
+                   help="feature-extraction fine-tuning: stop trunk "
+                        "gradients and freeze trunk params (~4x train "
+                        "throughput; the reference always fine-tunes)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace for the first train epoch")
     return p
@@ -188,6 +195,7 @@ def main(argv=None) -> dict:
         place_t=args.place_t_value, image_size=args.image_size,
         edges_num=graph.num_edges, compute_dtype=compute_dtype,
         remat_trunks=args.remat_trunks, bn_mode=args.bn_mode,
+        unroll_trunks=args.unroll_trunks, freeze_trunks=args.freeze_trunks,
     )
 
     mesh = None
@@ -249,6 +257,7 @@ def main(argv=None) -> dict:
         weight_decay=args.weight_decay, steps_per_epoch=steps_per_epoch,
         epoch_step=args.epoch_step, faithful_param_groups=args.faithful_param_groups,
         accumulation_steps=args.grad_accumulation_steps,
+        freeze_trunks=args.freeze_trunks and not args.text_only,
         aux_loss_weight=args.regu_weight,
         seed=args.seed,
         checkpoint_dir=os.path.join(args.save_model_path, args.model_name),

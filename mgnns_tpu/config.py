@@ -79,6 +79,16 @@ class ModelConfig:
     # jax.checkpoint the ResNet trunks: trades recompute for activation
     # memory, enabling much larger batches at 448px.
     remat_trunks: bool = False
+    # Unroll the per-stage residual-block scans.  The scan formulation
+    # compiles an order of magnitude faster (one block body per stage);
+    # unrolling lets XLA schedule each block's backward individually, ~19%
+    # faster ResNet-101 fwd+bwd (measured).  Eval perf is unchanged.
+    unroll_trunks: bool = False
+    # Feature-extraction fine-tuning: stop gradients at the trunk outputs
+    # (skips the entire conv backward, ~4x train throughput) and freeze the
+    # trunk parameters in the optimizer.  The reference always fine-tunes
+    # the trunks at lr*lrp; this is a documented TPU-native extension.
+    freeze_trunks: bool = False
 
     @property
     def bi_hidden_size(self) -> int:

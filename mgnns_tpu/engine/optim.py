@@ -43,11 +43,13 @@ _GROUPS_LISTED = {
 _ALWAYS_FROZEN = {"object_A", "place_A"}
 
 
-def label_params(params: dict, faithful: bool = False) -> dict:
+def label_params(params: dict, faithful: bool = False, freeze_trunks: bool = False) -> dict:
     """Pytree of group labels matching ``params``' structure."""
 
     def subtree_label(name):
         if name in _ALWAYS_FROZEN:
+            return "frozen"
+        if freeze_trunks and _GROUPS_LISTED.get(name) == "trunk":
             return "frozen"
         if name in _GROUPS_LISTED:
             return _GROUPS_LISTED[name]
@@ -85,6 +87,7 @@ def make_optimizer(
     lr_decay: float = 0.2,
     faithful: bool = False,
     accumulation_steps: int = 1,
+    freeze_trunks: bool = False,
 ) -> optax.GradientTransformation:
     """torch-Adam-equivalent chain: clip -> L2-to-grad -> Adam moments ->
     per-group multiplier -> -lr(step).
@@ -95,7 +98,7 @@ def make_optimizer(
     is ``accumulation_steps * batch_size`` and ``steps_per_epoch`` should
     count applied (outer) steps.
     """
-    labels = label_params(params, faithful)
+    labels = label_params(params, faithful, freeze_trunks)
     multipliers = {
         "base": optax.scale(1.0),
         "text": optax.scale(10.0),

@@ -73,6 +73,7 @@ class Engine:
         lr_decay: float = 0.2,
         faithful_param_groups: bool = False,
         accumulation_steps: int = 1,
+        freeze_trunks: bool = False,
         aux_loss_weight: float = 0.0,
         nan_guard: bool = True,
         seed: int = 0,
@@ -94,7 +95,7 @@ class Engine:
             lr=lr, lrp=lrp, weight_decay=weight_decay, grad_clip=grad_clip,
             steps_per_epoch=steps_per_epoch, epoch_step=epoch_step,
             lr_decay=lr_decay, faithful=faithful_param_groups,
-            accumulation_steps=accumulation_steps,
+            accumulation_steps=accumulation_steps, freeze_trunks=freeze_trunks,
         )
         self.mesh = mesh
         if mesh is not None and param_sharding_rules is not None:

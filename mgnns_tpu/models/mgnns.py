@@ -50,6 +50,7 @@ from mgnns_tpu.nn.core import (
     leaky_relu,
     linear_apply,
     linear_init,
+    take_rows,
 )
 
 # ImageNet statistics (reference Multi_GCN_Multihead_att.py:350-351)
@@ -190,16 +191,23 @@ def _image_channel(
     dtype = cfg.cdtype
     # bn_mode='batch' is the torch-faithful behavior (train-mode batch stats,
     # running-stat updates); 'frozen' always normalizes with running stats —
-    # the standard choice when fine-tuning imported trunks.
-    bn_train = train and cfg.bn_mode == "batch"
+    # the standard choice when fine-tuning imported trunks.  Frozen trunks
+    # always use running stats.
+    bn_train = train and cfg.bn_mode == "batch" and not cfg.freeze_trunks
 
     def trunk_fn(tp, ts, img):
-        return resnet.resnet_apply(tp, ts, img, depth=depth, train=bn_train, dtype=dtype)
+        return resnet.resnet_apply(tp, ts, img, depth=depth, train=bn_train,
+                                   dtype=dtype, unroll=cfg.unroll_trunks)
 
     if cfg.remat_trunks:
         # rematerialize trunk activations in the backward pass (HBM for FLOPs)
         trunk_fn = jax.checkpoint(trunk_fn)
     feats, new_state = trunk_fn(trunk_params, trunk_state, image)
+    if cfg.freeze_trunks:
+        # feature extraction: the whole conv backward disappears from the
+        # train step (trunk params are additionally frozen in the optimizer)
+        feats = jax.lax.stop_gradient(feats)
+        new_state = trunk_state
     B, H, W, C = feats.shape
     feats32 = feats.astype(jnp.float32)
     # memory bank: [B, H*W, 2048] -> linear -> [B, 196, d]
@@ -261,7 +269,7 @@ def mgnns_apply(
         rng=rngs.next("text_gcn"), use_pallas=use_pallas,
     )  # [B, 300]
 
-    emb = params["embedding"]["table"][batch["ids"]]
+    emb = take_rows(params["embedding"]["table"], batch["ids"])
     text_memory_bank, (h_final, _) = lstm.lstm_apply(
         params["lstm"], emb, batch["lens"],
         dropout_rate=cfg.dropout, train=train, rng=rngs.next("lstm"),

@@ -158,6 +158,55 @@ def embedding_apply(p: dict, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Gather with MXU-friendly backward
+#
+# The VJP of a row gather is a scatter-add, which XLA:TPU executes as a slow
+# serialized loop (~8 ms for [16x100] rows into [20k, 300] — measured).  The
+# same contraction expressed as one_hot(ids)^T @ g is a single MXU matmul
+# (~0.2 ms) that XLA fuses the iota-compare one-hot into.  Numerics are
+# identical up to f32 summation order.
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _take_rows_fn(tshape: tuple, tdtype: str):
+    """custom_vjp gather specialized to a (static) table shape/dtype."""
+
+    @jax.custom_vjp
+    def f(table, ids):
+        return table[ids]
+
+    def fwd(table, ids):
+        return table[ids], ids
+
+    def bwd(ids, g):
+        V = tshape[0]
+        flat_ids = ids.reshape(-1)                                  # [N]
+        gf = g.reshape(flat_ids.shape[0], -1).astype(jnp.float32)   # [N, D]
+        onehot = flat_ids[:, None] == jnp.arange(V, dtype=flat_ids.dtype)[None, :]
+        gtab = jnp.einsum("nv,nd->vd", onehot.astype(jnp.float32), gf)
+        return gtab.reshape(tshape).astype(tdtype), None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# above this many one-hot elements the matmul backward's [N, V] operand gets
+# memory-expensive; fall back to XLA's scatter-add
+_TAKE_ROWS_MATMUL_LIMIT = 256 * 1024 * 1024
+
+
+def take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """``table[ids]`` whose backward is an MXU matmul instead of a scatter."""
+    n = int(np.prod(ids.shape)) if ids.ndim else 1
+    if n * table.shape[0] <= _TAKE_ROWS_MATMUL_LIMIT:
+        return _take_rows_fn(tuple(table.shape), jnp.dtype(table.dtype).name)(table, ids)
+    return table[ids]
+
+
+# ---------------------------------------------------------------------------
 # Activations
 
 

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mgnns_tpu.nn.core import dropout
+from mgnns_tpu.nn.core import dropout, take_rows
 
 NEG_INF = -jnp.inf
 
@@ -130,7 +130,7 @@ def text_gcn_apply(
     use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Document representations [B, D]."""
-    emb = params["node_embedding"][ids]              # [B, L, D]
+    emb = take_rows(params["node_embedding"], ids)   # [B, L, D] (matmul bwd)
     w = params["edge_weight"][:, 0][eids]            # [B, L, W]
     if use_pallas:
         from mgnns_tpu.kernels.edge_max import window_max_aggregate_pallas

@@ -132,3 +132,47 @@ def test_bn_mode_frozen_keeps_stats(tiny_setup):
                            train=True, rng=jax.random.key(0))
     for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(ns)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unroll_trunks_matches_scan(tiny_setup):
+    """unroll_trunks=True must be numerically identical to the scan path."""
+    import dataclasses
+
+    cfg, graph, params, state, consts, batch = tiny_setup
+    ref, _, _ = mgnns_apply(params, state, consts, batch, cfg=cfg, train=False)
+    ucfg = dataclasses.replace(cfg, unroll_trunks=True)
+    out, _, _ = mgnns_apply(params, state, consts, batch, cfg=ucfg, train=False)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5, rtol=1e-5)
+
+
+def test_freeze_trunks_zero_grads_and_frozen_opt(tiny_setup):
+    """freeze_trunks: trunk grads are structurally zero, trunk params frozen
+    by the optimizer label map, batch stats untouched."""
+    import dataclasses
+    from mgnns_tpu.engine.optim import label_params
+
+    cfg, graph, params, state, consts, batch = tiny_setup
+    fcfg = dataclasses.replace(cfg, freeze_trunks=True)
+    labels = jnp.asarray((np.arange(batch["ids"].shape[0]) % 7).astype(np.int32))
+
+    def loss_fn(p, s):
+        logits, new_s, _ = mgnns_apply(p, s, consts, batch, cfg=fcfg, train=True,
+                                       rng=jax.random.key(0))
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return -lp[jnp.arange(logits.shape[0]), labels].mean(), new_s
+
+    (loss, new_s), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state)
+    assert np.isfinite(float(loss))
+    for trunk in ("object_trunk", "place_trunk"):
+        g = jax.tree_util.tree_leaves(grads[trunk])
+        assert all(float(jnp.abs(x).max()) == 0.0 for x in g)
+        # frozen BN stats pass through unchanged
+        for a, b in zip(jax.tree_util.tree_leaves(new_s[trunk]),
+                        jax.tree_util.tree_leaves(state[trunk])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # non-trunk grads are alive
+    assert float(jnp.abs(grads["multi_linear_2"]["w"]).max()) > 0.0
+    # optimizer labels mark trunks frozen
+    lbl = label_params(params, freeze_trunks=True)
+    assert set(jax.tree_util.tree_leaves(lbl["object_trunk"])) == {"frozen"}
+    assert set(jax.tree_util.tree_leaves(lbl["lstm"])) == {"lstm"}

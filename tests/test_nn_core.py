@@ -68,3 +68,27 @@ def test_leaky_relu_matches_torch(rng):
     ours = np.asarray(core.leaky_relu(jnp.asarray(x), 0.2))
     theirs = torch.nn.functional.leaky_relu(torch.from_numpy(x), 0.2).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_take_rows_matmul_backward_matches_scatter(rng):
+    """take_rows' MXU-matmul VJP must equal the plain gather's scatter-add
+    VJP exactly (same f32 sums, different op)."""
+    import jax
+    import jax.numpy as jnp
+    from mgnns_tpu.nn.core import take_rows
+
+    table = jnp.asarray(rng.standard_normal((37, 5)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 37, (4, 6)).astype(np.int32))
+    cot = jnp.asarray(rng.standard_normal((4, 6, 5)).astype(np.float32))
+
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(table, ids)), np.asarray(table[ids]))
+
+    g_new = jax.grad(lambda t: (take_rows(t, ids) * cot).sum())(table)
+    g_ref = jax.grad(lambda t: (t[ids] * cot).sum())(table)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+    # repeated ids accumulate
+    ids2 = jnp.zeros((3,), jnp.int32)
+    g2 = jax.grad(lambda t: take_rows(t, ids2).sum())(table)
+    assert np.allclose(np.asarray(g2)[0], 3.0)
