@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_root", type=str, default=".")
     p.add_argument("--mesh_data", type=int, default=1, help="data-parallel mesh axis size")
     p.add_argument("--mesh_model", type=int, default=1, help="model-parallel mesh axis size")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize the JAX distributed runtime (multi-process "
+                        "SPMD over a pod slice); each host loads its own data "
+                        "shard — see parallel/multihost.py")
     p.add_argument("--use_pallas", action="store_true", help="use Pallas text-GCN kernel")
     p.add_argument("--faithful_param_groups", action="store_true")
     p.add_argument("--limit_samples", type=int, default=0,
@@ -118,6 +122,10 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        from mgnns_tpu.parallel.multihost import initialize
+
+        initialize()
     from mgnns_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -175,6 +183,11 @@ def main(argv=None) -> dict:
         records = read_anno(args.data_root_path, phase)
         if args.limit_samples:
             records = records[: args.limit_samples]
+        if args.multihost and jax.process_count() > 1:
+            from mgnns_tpu.parallel.multihost import process_batch_slice
+
+            start, stop, _ = process_batch_slice(len(records), args.batch_size)
+            records = records[start:stop]
         return TumblrDataset(
             data_cfg, graph_cfg, phase, vocab, graph,
             image_size=args.image_size, train_transforms=train, records=records,
@@ -265,17 +278,26 @@ def main(argv=None) -> dict:
     )
 
     device_put = None
+    loader_batch = args.batch_size
     if mesh is not None:
-        from mgnns_tpu.parallel.mesh import batch_device_put
+        from mgnns_tpu.parallel.mesh import _BATCH_FIELDS, batch_device_put
 
-        device_put = lambda b: batch_device_put(b, mesh)
+        if args.multihost and jax.process_count() > 1:
+            from mgnns_tpu.parallel.multihost import host_local_to_global
+
+            # each host assembles its share of the global batch; the hook
+            # stitches per-host shards into global 'data'-sharded arrays
+            loader_batch = args.batch_size // jax.process_count()
+            device_put = lambda b: host_local_to_global(b, mesh, _BATCH_FIELDS)
+        else:
+            device_put = lambda b: batch_device_put(b, mesh)
 
     def loader(ds, shuffle):
         # ONE loader per split: its internal epoch counter advances every
         # iteration so shuffling order and augmentation draws differ each
         # epoch (a fresh instance per epoch would replay epoch 0 forever).
         ld = DeviceLoader(
-            ds, args.batch_size, shuffle=shuffle, seed=args.seed,
+            ds, loader_batch, shuffle=shuffle, seed=args.seed,
             num_threads=args.workers, with_images=with_images,
             device_put=device_put,
         )
