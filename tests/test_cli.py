@@ -140,3 +140,27 @@ def test_cli_glove_embedding_and_pmi_edges(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "loaded vocab embedding (20154, 300)" in out
+
+
+@pytest.mark.slow
+def test_cli_fusion_end_to_end(tmp_path):
+    """The FULL fusion model through the real CLI path (tiny shapes, CPU):
+    trunks + image GCNs + label attention + 4-way fusion + engine +
+    checkpoints + result dumps, with the round-2 perf flags exercised."""
+    from mgnns_tpu.cli.main import main
+
+    res = main([
+        "--data_root_path", REF, "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val", "--test_phase", "test",
+        "--epochs", "1", "-b", "4", "--limit_samples", "8",
+        "--image-size", "64", "--bn_mode", "frozen", "--freeze_trunks",
+        "--lr", "1e-3", "-e",
+        "--save_model_path", str(tmp_path / "ckpt"),
+        "--save_experiment_result_path", str(tmp_path / "exp"),
+        "--save_pred_result_path", str(tmp_path / "pred"),
+    ])
+    assert len(res["history"]) == 1
+    assert np.isfinite(res["history"][0]["train"]["loss"])
+    assert "test" in res
+    tag = "text_min_count_5_ngram_4_window_6_bts_4.txt"
+    assert (tmp_path / "exp" / "mgnns_tpu" / tag).exists()

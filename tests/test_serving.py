@@ -77,3 +77,26 @@ def test_predictor_missing_checkpoint():
     with pytest.raises(FileNotFoundError):
         Predictor.from_engine_artifacts(REF, "/tmp/definitely_missing_ckpt",
                                         text_only=True, pmi_phase="val")
+
+
+def test_predictor_from_model_parallel_checkpoint(tmp_path):
+    """A checkpoint trained with model-parallel (padded) tables must serve
+    single-device: the padded rows are inert and pass through _conform."""
+    from mgnns_tpu.cli.main import main
+    from mgnns_tpu.serving import Predictor
+
+    root = tmp_path / "ckpt"
+    main([
+        "--data_root_path", REF, "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val",
+        "--text_only", "--epochs", "1", "-b", "32", "--limit_samples", "64",
+        "--lr", "2e-3", "--mesh_data", "2", "--mesh_model", "4",
+        "--save_model_path", str(root),
+    ])
+    pred = Predictor.from_engine_artifacts(
+        REF, str(root / "mgnns_tpu"), text_only=True, pmi_phase="val", max_batch=4)
+    # padded: vocab 20,154 -> 20,156 rows on a model axis of 4
+    V = pred.params["text_gcn"]["node_embedding"].shape[0]
+    assert V % 4 == 0 and V >= 20154
+    out = pred.predict([{"text": "happy wonderful day"}, {"text": "sad day"}])
+    assert len(out) == 2 and all(np.isfinite(list(r["probs"].values())).all() for r in out)
