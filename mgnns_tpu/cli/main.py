@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_ids", type=int, nargs="+", default=[0])
     p.add_argument("--start-epoch", dest="start_epoch", type=int, default=0)
     p.add_argument("-b", "--batch-size", dest="batch_size", type=int, default=16)
+    p.add_argument("--eval_batch_size", type=int, default=0,
+                   help="batch size for val/test epochs (0 = same as train; "
+                        "eval fits much larger batches than fwd+bwd)")
     p.add_argument("--lr", "--learning-rate", dest="lr", type=float, default=5e-5)
     p.add_argument("--lrp", "--learning-rate-pretrained", dest="lrp", type=float, default=0.1)
     p.add_argument("--momentum", type=float, default=0.9)
@@ -292,13 +295,19 @@ def main(argv=None) -> dict:
         else:
             device_put = lambda b: batch_device_put(b, mesh)
 
+    eval_batch = loader_batch
+    if args.eval_batch_size:
+        eval_batch = args.eval_batch_size
+        if args.multihost and jax.process_count() > 1:
+            eval_batch //= jax.process_count()
+
     def loader(ds, shuffle):
         # ONE loader per split: its internal epoch counter advances every
         # iteration so shuffling order and augmentation draws differ each
         # epoch (a fresh instance per epoch would replay epoch 0 forever).
         ld = DeviceLoader(
-            ds, loader_batch, shuffle=shuffle, seed=args.seed,
-            num_threads=args.workers, with_images=with_images,
+            ds, loader_batch if shuffle else eval_batch, shuffle=shuffle,
+            seed=args.seed, num_threads=args.workers, with_images=with_images,
             device_put=device_put,
         )
         return lambda: ld

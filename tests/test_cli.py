@@ -164,3 +164,20 @@ def test_cli_fusion_end_to_end(tmp_path):
     assert "test" in res
     tag = "text_min_count_5_ngram_4_window_6_bts_4.txt"
     assert (tmp_path / "exp" / "mgnns_tpu" / tag).exists()
+
+
+def test_cli_eval_batch_size(tmp_path):
+    """--eval_batch_size decouples val/test batches from the train batch."""
+    from mgnns_tpu.cli.main import main
+
+    res = main([
+        "--data_root_path", REF, "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val", "--test_phase", "test",
+        "--text_only", "--epochs", "1", "-b", "8", "--eval_batch_size", "64",
+        "--limit_samples", "64", "--lr", "1e-3", "-e",
+        "--save_model_path", str(tmp_path / "ckpt"),
+        "--save_experiment_result_path", str(tmp_path / "exp"),
+        "--save_pred_result_path", str(tmp_path / "pred"),
+    ])
+    assert len(res["history"]) == 1 and "test" in res
+    assert len(res["test"]["preds"]) == 64
