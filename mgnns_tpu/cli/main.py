@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep val/test batches device-resident after the "
                         "first epoch (static eval sets; ~6 GB HBM for 10k "
                         "448px uint8 samples)")
+    p.add_argument("--device_images", action="store_true",
+                   help="upload each split's pixels ONCE as a device table "
+                        "and gather batches on device by index — removes "
+                        "per-step image H2D (requires deterministic pixels: "
+                        "eval transforms or the synthetic backend; ~600 KB "
+                        "HBM per 448px sample per split)")
     p.add_argument("--lr", "--learning-rate", dest="lr", type=float, default=5e-5)
     p.add_argument("--lrp", "--learning-rate-pretrained", dest="lrp", type=float, default=0.1)
     p.add_argument("--momentum", type=float, default=0.9)
@@ -200,9 +206,20 @@ def main(argv=None) -> dict:
             image_size=args.image_size, train_transforms=train, records=records,
         )
 
-    train_ds = make_ds(args.train_phase, True)
-    val_ds = make_ds(args.val_phase, False)
-    test_ds = make_ds(args.test_phase, False)
+    # Dedupe: identical (phase, transforms) pairs share one dataset —
+    # common in ablations (val split doubling as test) and essential with
+    # --device_images, where each dataset pins a pixel table in HBM.
+    _ds_cache: dict = {}
+
+    def make_ds_cached(phase, train):
+        key = (phase, train)
+        if key not in _ds_cache:
+            _ds_cache[key] = make_ds(phase, train)
+        return _ds_cache[key]
+
+    train_ds = make_ds_cached(args.train_phase, True)
+    val_ds = make_ds_cached(args.val_phase, False)
+    test_ds = make_ds_cached(args.test_phase, False)
 
     compute_dtype = "bfloat16" if args.fp16 else args.compute_dtype
     model_cfg = ModelConfig(
@@ -305,16 +322,24 @@ def main(argv=None) -> dict:
         if args.multihost and jax.process_count() > 1:
             eval_batch //= jax.process_count()
 
+    _loader_cache: dict = {}
+
     def loader(ds, shuffle):
         # ONE loader per split: its internal epoch counter advances every
         # iteration so shuffling order and augmentation draws differ each
         # epoch (a fresh instance per epoch would replay epoch 0 forever).
-        ld = DeviceLoader(
-            ds, loader_batch if shuffle else eval_batch, shuffle=shuffle,
-            seed=args.seed, num_threads=args.workers, with_images=with_images,
-            device_put=device_put,
-            cache_device_batches=args.cache_eval_batches and not shuffle,
-        )
+        # Same (dataset, shuffle) pair -> same loader, so a val split that
+        # doubles as the test split shares its device caches/image table.
+        key = (id(ds), shuffle)
+        if key not in _loader_cache:
+            _loader_cache[key] = DeviceLoader(
+                ds, loader_batch if shuffle else eval_batch, shuffle=shuffle,
+                seed=args.seed, num_threads=args.workers, with_images=with_images,
+                device_put=device_put,
+                cache_device_batches=args.cache_eval_batches and not shuffle,
+                device_images=args.device_images,
+            )
+        ld = _loader_cache[key]
         return lambda: ld
 
     run_config = {

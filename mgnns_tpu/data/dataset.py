@@ -98,6 +98,13 @@ class TumblrDataset:
     def __len__(self) -> int:
         return len(self.records)
 
+    def cacheable_images(self) -> bool:
+        """True when a sample's pixels are deterministic (eval transforms, or
+        the synthetic backend whose draws are keyed by sample id) — the
+        validity condition for the decoded-image cache and for device-
+        resident image tables."""
+        return (not self.train_transforms) or self.cfg.image_backend == "synthetic"
+
     def image_path(self, i: int) -> str:
         return os.path.join(self.cfg.image_root, self.records[i].get("image", ""))
 

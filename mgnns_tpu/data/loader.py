@@ -36,6 +36,7 @@ class DeviceLoader:
         with_images: bool = True,
         device_put=None,
         cache_device_batches: bool = False,
+        device_images: bool = False,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -53,6 +54,19 @@ class DeviceLoader:
             raise ValueError("cache_device_batches requires shuffle=False")
         self.cache_device_batches = cache_device_batches
         self._device_cache: list | None = None
+        # Device-resident images: upload the split's pixels ONCE as one
+        # [N, H, W, 3] table and gather each batch on device by index.
+        # Per-step host->device image traffic disappears (only tiny text
+        # tensors ship), which both removes the H2D bottleneck and sidesteps
+        # per-transfer client-side buffer overhead.  Valid under the same
+        # condition as the dataset's decoded-image cache (deterministic
+        # pixels per sample: eval transforms, or the synthetic backend).
+        if device_images and not dataset.cacheable_images():
+            raise ValueError(
+                "device_images requires deterministic per-sample pixels "
+                "(eval transforms or the synthetic backend)")
+        self.device_images = device_images and with_images
+        self._image_table = None
 
     def __len__(self) -> int:
         return (len(self.ds) + self.batch_size - 1) // self.batch_size
@@ -72,7 +86,7 @@ class DeviceLoader:
             "weight": (np.arange(B) < n).astype(np.float32),
             "sample_index": full_idx.astype(np.int32),
         }
-        if self.with_images:
+        if self.with_images and not self.device_images:
             seeds = [random.Random(rng.getrandbits(32)) for _ in full_idx]
             if pool is not None:
                 imgs = list(pool.map(self.ds.load_image, full_idx, seeds))
@@ -80,6 +94,19 @@ class DeviceLoader:
                 imgs = [self.ds.load_image(i, r) for i, r in zip(full_idx, seeds)]
             batch["image"] = np.stack(imgs)
         return batch
+
+    def _ensure_image_table(self):
+        """Upload the whole split's pixels once as a [N, H, W, 3] device
+        table (runs on the consumer thread — JAX dispatch is not safe from
+        the producer)."""
+        if self._image_table is None:
+            pool = ThreadPoolExecutor(self.num_threads)
+            try:
+                imgs = list(pool.map(self.ds.load_image, range(len(self.ds))))
+            finally:
+                pool.shutdown(wait=False)
+            self._image_table = jax.device_put(np.stack(imgs))
+        return self._image_table
 
     def __iter__(self) -> Iterator[dict]:
         """Producer-thread iteration: batch assembly + H2D placement run on a
@@ -89,7 +116,19 @@ class DeviceLoader:
         import threading
 
         if self._device_cache is not None:
-            yield from self._device_cache
+            if self.device_images:
+                # cached batches are stored WITHOUT pixels (they'd duplicate
+                # the device table); re-gather per replay — a cheap on-device
+                # index into the resident table
+                import jax.numpy as jnp
+
+                table = self._ensure_image_table()
+                for dev in self._device_cache:
+                    out = dict(dev)
+                    out["image"] = jnp.take(table, dev["sample_index"], axis=0)
+                    yield out
+            else:
+                yield from self._device_cache
             return
 
         order = np.arange(len(self.ds))
@@ -118,7 +157,8 @@ class DeviceLoader:
             # Host-side work only: JAX dispatch is not thread-safe against the
             # consumer's jitted execution (deadlocks observed over the axon
             # tunnel), so device placement happens on the consumer thread.
-            pool = ThreadPoolExecutor(self.num_threads) if self.with_images else None
+            pool = (ThreadPoolExecutor(self.num_threads)
+                    if self.with_images and not self.device_images else None)
             try:
                 for chunk in chunks:
                     if stop.is_set():
@@ -145,7 +185,14 @@ class DeviceLoader:
                 if isinstance(item, BaseException):
                     raise item
                 dev = self._device_put(item)
-                if collected is not None:
+                if self.device_images:
+                    import jax.numpy as jnp
+
+                    if collected is not None:
+                        collected.append(dict(dev))  # pixel-free
+                    dev["image"] = jnp.take(
+                        self._ensure_image_table(), dev["sample_index"], axis=0)
+                elif collected is not None:
                     collected.append(dev)
                 yield dev
         finally:

@@ -118,3 +118,37 @@ def test_loader_shuffle_changes_order(small_ds):
     b = np.asarray(next(iter(l1))["sample_index"])  # next epoch reshuffles
     assert not np.array_equal(a, b)
 
+
+
+def test_device_images_matches_per_batch_upload(small_ds):
+    """device_images=True (one device table + on-device gather) must yield
+    byte-identical batches to the per-batch upload path."""
+    ref_loader = DeviceLoader(small_ds, batch_size=32, shuffle=False)
+    dev_loader = DeviceLoader(small_ds, batch_size=32, shuffle=False,
+                              device_images=True)
+    for a, b in zip(ref_loader, dev_loader):
+        assert "image" in b and b["image"].shape == a["image"].shape
+        np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
+        np.testing.assert_array_equal(np.asarray(a["ids"]), np.asarray(b["ids"]))
+    # the pixel table was uploaded exactly once
+    assert dev_loader._image_table is not None
+    assert dev_loader._image_table.shape[0] == len(small_ds)
+
+
+def test_device_images_rejects_nondeterministic_pixels(text_side, tmp_path):
+    """PIL backend + train transforms => pixels differ per epoch; the loader
+    must refuse the device-resident table."""
+    cfg, vocab, graph = text_side
+    data_cfg = DataConfig(
+        data_root_path=REF,
+        object_inp_name=f"{REF}/glove/object_glove_word2vec.pkl",
+        place_inp_name=f"{REF}/glove/place_glove_word2vec.pkl",
+        label_glove_name=f"{REF}/tumblr_label_glove.pkl",
+        object_adj_file=f"{REF}/adj/tumblr_objects_adj.pkl",
+        place_adj_file=f"{REF}/adj/tumblr_resnet50_places_adj.pkl",
+        image_backend="pil",
+    )
+    ds = TumblrDataset(data_cfg, cfg, "val", vocab, graph, image_size=32,
+                       train_transforms=True, records=read_anno(REF, "val")[:4])
+    with pytest.raises(ValueError, match="device_images"):
+        DeviceLoader(ds, batch_size=2, shuffle=True, device_images=True)
