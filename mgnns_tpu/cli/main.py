@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep val/test batches device-resident after the "
                         "first epoch (static eval sets; ~6 GB HBM for 10k "
                         "448px uint8 samples)")
+    p.add_argument("--no_augmentation", action="store_true",
+                   help="use eval transforms (Warp) for the train split too: "
+                        "no MultiScaleCrop/flip.  With --device_images and "
+                        "train_phase == val/test phase the splits then share "
+                        "ONE pixel table")
     p.add_argument("--device_images", action="store_true",
                    help="upload each split's pixels ONCE as a device table "
                         "and gather batches on device by index — removes "
@@ -217,7 +222,7 @@ def main(argv=None) -> dict:
             _ds_cache[key] = make_ds(phase, train)
         return _ds_cache[key]
 
-    train_ds = make_ds_cached(args.train_phase, True)
+    train_ds = make_ds_cached(args.train_phase, not args.no_augmentation)
     val_ds = make_ds_cached(args.val_phase, False)
     test_ds = make_ds_cached(args.test_phase, False)
 

@@ -98,14 +98,19 @@ class DeviceLoader:
     def _ensure_image_table(self):
         """Upload the whole split's pixels once as a [N, H, W, 3] device
         table (runs on the consumer thread — JAX dispatch is not safe from
-        the producer)."""
+        the producer).  The table is cached ON THE DATASET so every loader
+        over the same split (train/val/test ablations) shares one HBM copy."""
         if self._image_table is None:
-            pool = ThreadPoolExecutor(self.num_threads)
-            try:
-                imgs = list(pool.map(self.ds.load_image, range(len(self.ds))))
-            finally:
-                pool.shutdown(wait=False)
-            self._image_table = jax.device_put(np.stack(imgs))
+            table = getattr(self.ds, "_device_image_table", None)
+            if table is None:
+                pool = ThreadPoolExecutor(self.num_threads)
+                try:
+                    imgs = list(pool.map(self.ds.load_image, range(len(self.ds))))
+                finally:
+                    pool.shutdown(wait=False)
+                table = jax.device_put(np.stack(imgs))
+                self.ds._device_image_table = table
+            self._image_table = table
         return self._image_table
 
     def __iter__(self) -> Iterator[dict]:
