@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-step image H2D (requires deterministic pixels: "
                         "eval transforms or the synthetic backend; ~600 KB "
                         "HBM per 448px sample per split)")
+    p.add_argument("--device_images_budget_gb", type=float, default=9.0,
+                   help="HBM budget for --device_images pixel tables; splits "
+                        "are granted tables greedily (train, val, test) and "
+                        "any split past the budget falls back to per-batch "
+                        "upload")
+    p.add_argument("--val_limit", type=int, default=0,
+                   help="evaluate only the first N val samples per epoch "
+                        "(faster epochs; the final test pass is always full)")
     p.add_argument("--lr", "--learning-rate", dest="lr", type=float, default=5e-5)
     p.add_argument("--lrp", "--learning-rate-pretrained", dest="lrp", type=float, default=0.1)
     p.add_argument("--momentum", type=float, default=0.9)
@@ -216,14 +224,21 @@ def main(argv=None) -> dict:
     # --device_images, where each dataset pins a pixel table in HBM.
     _ds_cache: dict = {}
 
-    def make_ds_cached(phase, train):
-        key = (phase, train)
+    def make_ds_cached(phase, train, limit=0):
+        key = (phase, train, limit)
         if key not in _ds_cache:
-            _ds_cache[key] = make_ds(phase, train)
+            ds = make_ds(phase, train)
+            if limit and limit < len(ds.records):
+                ds = TumblrDataset(
+                    data_cfg, graph_cfg, phase, vocab, graph,
+                    image_size=args.image_size, train_transforms=train,
+                    records=ds.records[:limit],
+                )
+            _ds_cache[key] = ds
         return _ds_cache[key]
 
     train_ds = make_ds_cached(args.train_phase, not args.no_augmentation)
-    val_ds = make_ds_cached(args.val_phase, False)
+    val_ds = make_ds_cached(args.val_phase, False, args.val_limit)
     test_ds = make_ds_cached(args.test_phase, False)
 
     compute_dtype = "bfloat16" if args.fp16 else args.compute_dtype
@@ -327,9 +342,27 @@ def main(argv=None) -> dict:
         if args.multihost and jax.process_count() > 1:
             eval_batch //= jax.process_count()
 
+    # Greedy HBM budget for device-resident pixel tables (train first —
+    # it reships every epoch otherwise; splits past the budget use the
+    # per-batch upload path).
+    _device_images_for: dict = {}
+    if args.device_images:
+        budget = args.device_images_budget_gb * 1e9
+        for ds in (train_ds, val_ds, test_ds):
+            if id(ds) in _device_images_for:
+                continue
+            size = len(ds) * args.image_size * args.image_size * 3
+            grant = size <= budget and ds.cacheable_images()
+            _device_images_for[id(ds)] = grant
+            if grant:
+                budget -= size
+        granted = sum(_device_images_for.values())
+        print(f"device_images: {granted}/{len(_device_images_for)} split tables "
+              f"within {args.device_images_budget_gb} GB budget")
+
     _loader_cache: dict = {}
 
-    def loader(ds, shuffle):
+    def loader(ds, shuffle, reused=True):
         # ONE loader per split: its internal epoch counter advances every
         # iteration so shuffling order and augmentation draws differ each
         # epoch (a fresh instance per epoch would replay epoch 0 forever).
@@ -337,12 +370,17 @@ def main(argv=None) -> dict:
         # doubles as the test split shares its device caches/image table.
         key = (id(ds), shuffle)
         if key not in _loader_cache:
+            dev_imgs = _device_images_for.get(id(ds), False)
             _loader_cache[key] = DeviceLoader(
                 ds, loader_batch if shuffle else eval_batch, shuffle=shuffle,
                 seed=args.seed, num_threads=args.workers, with_images=with_images,
                 device_put=device_put,
-                cache_device_batches=args.cache_eval_batches and not shuffle,
-                device_images=args.device_images,
+                # caching pixel batches only pays when the loader is
+                # iterated more than once (pixel-free batches are cheap
+                # either way with a device table)
+                cache_device_batches=(args.cache_eval_batches and not shuffle
+                                      and (reused or dev_imgs)),
+                device_images=dev_imgs,
             )
         ld = _loader_cache[key]
         return lambda: ld
@@ -362,7 +400,8 @@ def main(argv=None) -> dict:
 
     if args.evaluate:
         res = engine.learning(
-            loader(train_ds, True), loader(val_ds, False), loader(test_ds, False),
+            loader(train_ds, True), loader(val_ds, False),
+            loader(test_ds, False, reused=(test_ds is val_ds)),
             max_epochs=args.epochs, resume=args.resume is not None,
             log_every=args.print_freq, result_paths=result_paths, run_config=run_config,
             profile_dir=args.profile_dir,
