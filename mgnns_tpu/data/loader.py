@@ -19,6 +19,7 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mgnns_tpu.data.dataset import TumblrDataset
@@ -125,8 +126,6 @@ class DeviceLoader:
                 # cached batches are stored WITHOUT pixels (they'd duplicate
                 # the device table); re-gather per replay — a cheap on-device
                 # index into the resident table
-                import jax.numpy as jnp
-
                 table = self._ensure_image_table()
                 for dev in self._device_cache:
                     out = dict(dev)
@@ -191,8 +190,6 @@ class DeviceLoader:
                     raise item
                 dev = self._device_put(item)
                 if self.device_images:
-                    import jax.numpy as jnp
-
                     if collected is not None:
                         collected.append(dict(dev))  # pixel-free
                     dev["image"] = jnp.take(
