@@ -141,6 +141,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "throughput; the reference always fine-tunes)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace for the first train epoch")
+    p.add_argument("--metrics_path", type=str, default=None,
+                   help="append one JSON line of train/val metrics per epoch "
+                        "(machine-readable run observability)")
     return p
 
 
@@ -404,13 +407,14 @@ def main(argv=None) -> dict:
             loader(test_ds, False, reused=(test_ds is val_ds)),
             max_epochs=args.epochs, resume=args.resume is not None,
             log_every=args.print_freq, result_paths=result_paths, run_config=run_config,
-            profile_dir=args.profile_dir,
+            profile_dir=args.profile_dir, metrics_path=args.metrics_path,
         )
     else:
         res = engine.learning(
             loader(train_ds, True), loader(val_ds, False), None,
             max_epochs=args.epochs, resume=args.resume is not None,
             log_every=args.print_freq, profile_dir=args.profile_dir,
+            metrics_path=args.metrics_path,
         )
     return res
 

@@ -1,0 +1,114 @@
+"""HTTP serving endpoint: a stdlib server around :class:`serving.Predictor`.
+
+The reference has no serving story at all; this closes the deployment loop:
+train with ``cli.main`` -> serve the checkpoint over HTTP.  Endpoints:
+
+- ``GET  /healthz``  -> ``{"status": "ok", "model": ..., "text_only": ...}``
+- ``POST /predict``  -> body ``{"records": [{"id": ..., "text": ...,
+  "image": ...}, ...]}`` (or a bare list); returns ``{"predictions": [...]}``
+  in input order, each with ``label`` and per-class ``probs``.
+
+Single-threaded by design: one TPU program, one queue — requests batch
+internally to the Predictor's fixed ``max_batch`` (static shapes, one
+compiled program).  Put a real load balancer in front for fan-in.
+
+Usage:
+    python -m mgnns_tpu.cli.serve --data_root_path data \
+        --checkpoint checkpoint/mgnns_tpu --text_only --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MGNNS-TPU HTTP serving")
+    p.add_argument("--data_root_path", type=str, default="data")
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="engine checkpoint dir (with preproc artifacts)")
+    p.add_argument("--text_only", action="store_true")
+    p.add_argument("--pmi_phase", type=str, default="train")
+    p.add_argument("--image_backend", type=str, default="pil",
+                   choices=["pil", "synthetic"])
+    p.add_argument("--image_root", type=str, default=".")
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--platform", type=str, default=None)
+    return p
+
+
+def make_handler(predictor, model_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", "model": model_name,
+                                 "text_only": predictor.text_only})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                records = payload if isinstance(payload, list) else payload.get("records", [])
+                if not isinstance(records, list) or not records:
+                    self._send(400, {"error": "body must be {'records': [...]} or a list"})
+                    return
+                out = predictor.predict(records)
+                self._send(200, {"predictions": out})
+            except json.JSONDecodeError as e:
+                self._send(400, {"error": f"bad json: {e}"})
+            except Exception as e:  # surface, don't kill the server
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *a):  # quiet request logging
+            pass
+
+    return Handler
+
+
+def make_server(args) -> HTTPServer:
+    """Build the HTTPServer (separated from main() so tests can drive it)."""
+    from mgnns_tpu.serving import Predictor
+
+    predictor = Predictor.from_engine_artifacts(
+        args.data_root_path, args.checkpoint, text_only=args.text_only,
+        pmi_phase=args.pmi_phase, image_backend=args.image_backend,
+        image_root=args.image_root, max_batch=args.max_batch,
+        strict_images=False,
+    )
+    # warm the compiled program so the first request isn't a compile
+    predictor.predict([{"text": "warmup"}])
+    return HTTPServer((args.host, args.port),
+                      make_handler(predictor, args.checkpoint))
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    server = make_server(args)
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port}  (POST /predict, GET /healthz)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -241,6 +241,7 @@ class Engine:
         result_paths: dict | None = None,
         run_config: dict | None = None,
         profile_dir: str | None = None,
+        metrics_path: str | None = None,
     ) -> dict:
         """Full loop: train/val per epoch, checkpoint + best tracking, then
         test with the best params (reference ``learning``, ``:315-507``)."""
@@ -265,6 +266,8 @@ class Engine:
                 f"acc {va['accuracy']:.4f} macroF1 {va['macro_f1']:.4f}"
             )
             history.append({"epoch": epoch, "train": tr, "val": va})
+            if metrics_path:
+                self._append_metrics(metrics_path, epoch, tr, va)
             self.best_score = max(self.best_score, va["accuracy"])
             if self.checkpointer is not None:
                 self.save(metrics={"val_accuracy": va["accuracy"]})
@@ -281,6 +284,25 @@ class Engine:
             if result_paths:
                 self._dump_results(te, result_paths, run_config or {})
         return result
+
+    @staticmethod
+    def _append_metrics(path: str, epoch: int, tr: dict, va: dict) -> None:
+        """One JSON line per epoch — machine-readable run observability
+        (dashboards, regression tracking) beyond the reference's stdout-only
+        logging."""
+        import json
+
+        keep = ("loss", "accuracy", "micro_f1", "macro_f1", "weighted_f1",
+                "samples_per_sec", "epoch_seconds", "skipped_steps")
+        row = {
+            "ts": time.time(),
+            "epoch": epoch,
+            "train": {k: float(tr[k]) for k in keep if k in tr},
+            "val": {k: float(va[k]) for k in keep if k in va},
+        }
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
 
     def _dump_results(self, te: dict, paths: dict, run_config: dict) -> None:
         """Reference-style result files (``engine/...:447-507``)."""

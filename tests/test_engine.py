@@ -305,3 +305,17 @@ def test_checkpoint_retention_keeps_best_and_latest(tmp_path):
     assert len(kept) == 3                   # best + latest 2
     restored = ck.restore(2, {"w": jnp.zeros((3,))})
     np.testing.assert_array_equal(np.asarray(restored["w"]), 1.0)
+
+
+def test_metrics_jsonl_logging(tmp_path):
+    """learning(metrics_path=...) appends one parseable JSON line per epoch."""
+    import json
+
+    eng, loader = _make_engine()
+    path = str(tmp_path / "m" / "metrics.jsonl")
+    eng.learning(loader, loader, max_epochs=2, metrics_path=path)
+    rows = [json.loads(l) for l in open(path)]
+    assert [r["epoch"] for r in rows] == [0, 1]
+    for r in rows:
+        assert {"loss", "accuracy", "macro_f1"} <= set(r["train"])
+        assert np.isfinite(r["val"]["accuracy"])

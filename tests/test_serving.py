@@ -100,3 +100,51 @@ def test_predictor_from_model_parallel_checkpoint(tmp_path):
     assert V % 4 == 0 and V >= 20154
     out = pred.predict([{"text": "happy wonderful day"}, {"text": "sad day"}])
     assert len(out) == 2 and all(np.isfinite(list(r["probs"].values())).all() for r in out)
+
+
+def test_http_serve_endpoint(trained_ckpt):
+    """cli.serve: /healthz + /predict over a real HTTP round trip."""
+    import threading
+    import urllib.request
+
+    from mgnns_tpu.cli.serve import build_parser, make_server
+
+    args = build_parser().parse_args([
+        "--data_root_path", REF, "--checkpoint", trained_ckpt,
+        "--text_only", "--pmi_phase", "val", "--max_batch", "4", "--port", "0",
+    ])
+    server = make_server(args)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["text_only"] is True
+
+        body = json.dumps({"records": [
+            {"id": "a", "text": "happy wonderful day"},
+            {"id": "b", "text": "sad terrible day"},
+        ]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        preds = out["predictions"]
+        assert len(preds) == 2
+        assert all(p["label"] in {"angry", "bored", "calm", "fear", "happy",
+                                  "love", "sad"} for p in preds)
+
+        # malformed body -> 400, server stays alive
+        bad = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                     data=b"{not json", method="POST")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        server.shutdown()
