@@ -79,7 +79,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--weight-decay", "--wd", dest="weight_decay", type=float, default=1e-5)
     p.add_argument("--print-freq", "-p", dest="print_freq", type=int, default=10)
-    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--resume", type=str, nargs="?", const="latest", default=None,
+                   help="bare --resume: resume from this run's latest "
+                        "checkpoint; --resume <dir>: resume full train state "
+                        "from that Orbax checkpoint dir; --resume <x.pth[.tar]>: "
+                        "import a reference torch checkpoint's weights "
+                        "(optimizer state starts fresh, as the reference's "
+                        "resume does: engine/...:347-357)")
+    p.add_argument("--object_trunk_ckpt", type=str, default=None,
+                   help="torchvision-format ResNet-101 .pth[.tar] for the "
+                        "object trunk (reference models.resnet101("
+                        "pretrained=True), Multi_GCN_Multihead_att.py:629)")
+    p.add_argument("--place_trunk_ckpt", type=str, default=None,
+                   help="Places365 ResNet-50 .pth[.tar] for the scene trunk "
+                        "(reference weights/resnet50_places365.pth.tar, "
+                        "Multi_GCN_Multihead_att.py:586-595); a 'module.' "
+                        "DataParallel prefix is stripped automatically")
+    p.add_argument("--init_from_reference", type=str, default=None,
+                   help="initialize ALL model weights from a reference "
+                        "Multi_GCN_Multihead_Att torch checkpoint "
+                        "(models/import_reference.py); training starts at "
+                        "epoch 0 with a fresh optimizer")
     p.add_argument("-e", "--evaluate", action="store_true")
     p.add_argument("--save_experiment_result_path", type=str, default="result/experiment_result")
     p.add_argument("--save_pred_result_path", type=str, default="result/pred_result")
@@ -147,6 +167,29 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def load_torch_state_dict(path: str) -> tuple[dict, dict]:
+    """(state_dict, meta) from a reference/torchvision ``.pth[.tar]`` file.
+
+    Accepts either a bare state_dict or the reference's checkpoint wrapper
+    ``{'epoch', 'arch', 'state_dict', 'best_score'}`` (written by
+    ``engine/...:624-643``; the Places365 release uses the same format) and
+    strips DataParallel's ``module.`` prefix.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    meta = {}
+    if isinstance(obj, dict) and "state_dict" in obj:
+        meta = {k: obj[k] for k in ("epoch", "best_score") if k in obj}
+        obj = obj["state_dict"]
+    sd = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = v
+    return sd, meta
+
+
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     if args.platform:
@@ -208,19 +251,36 @@ def main(argv=None) -> dict:
     ckpt_dir = os.path.join(args.save_model_path, args.model_name)
     save_preproc(ckpt_dir, vocab, graph, label_map, graph_cfg)
 
-    def make_ds(phase, train):
-        records = read_anno(args.data_root_path, phase)
-        if args.limit_samples:
-            records = records[: args.limit_samples]
-        if args.multihost and jax.process_count() > 1:
+    multihost_active = args.multihost and jax.process_count() > 1
+
+    _anno_cache: dict = {}
+
+    def get_records(phase):
+        if phase not in _anno_cache:
+            records = read_anno(args.data_root_path, phase)
+            if args.limit_samples:
+                records = records[: args.limit_samples]
+            _anno_cache[phase] = records
+        return _anno_cache[phase]
+
+    def make_ds(phase, train, limit=0):
+        records = get_records(phase)
+        if limit:
+            records = records[:limit]
+        global_len = len(records)
+        if multihost_active:
             from mgnns_tpu.parallel.multihost import process_batch_slice
 
             start, stop, _ = process_batch_slice(len(records), args.batch_size)
             records = records[start:stop]
-        return TumblrDataset(
+        ds = TumblrDataset(
             data_cfg, graph_cfg, phase, vocab, graph,
             image_size=args.image_size, train_transforms=train, records=records,
         )
+        # pre-slice count: multihost epoch lengths derive from the GLOBAL
+        # split size so every host runs the same number of SPMD steps
+        ds.global_len = global_len
+        return ds
 
     # Dedupe: identical (phase, transforms) pairs share one dataset —
     # common in ablations (val split doubling as test) and essential with
@@ -228,16 +288,11 @@ def main(argv=None) -> dict:
     _ds_cache: dict = {}
 
     def make_ds_cached(phase, train, limit=0):
+        if limit and limit >= len(get_records(phase)):
+            limit = 0  # no-op limit: share the unlimited dataset object
         key = (phase, train, limit)
         if key not in _ds_cache:
-            ds = make_ds(phase, train)
-            if limit and limit < len(ds.records):
-                ds = TumblrDataset(
-                    data_cfg, graph_cfg, phase, vocab, graph,
-                    image_size=args.image_size, train_transforms=train,
-                    records=ds.records[:limit],
-                )
-            _ds_cache[key] = ds
+            _ds_cache[key] = make_ds(phase, train, limit)
         return _ds_cache[key]
 
     train_ds = make_ds_cached(args.train_phase, not args.no_augmentation)
@@ -266,6 +321,12 @@ def main(argv=None) -> dict:
 
         mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
         rules = mgnns_param_rules()
+
+    if args.text_only and (args.object_trunk_ckpt or args.place_trunk_ckpt
+                           or args.init_from_reference):
+        raise SystemExit("--object_trunk_ckpt/--place_trunk_ckpt/"
+                         "--init_from_reference need the fusion model; "
+                         "drop --text_only")
 
     key = jax.random.key(args.seed)
     with_images = not args.text_only
@@ -297,6 +358,36 @@ def main(argv=None) -> dict:
             vocab_embedding=vocab_embedding, node_embedding=vocab_embedding,
             edge_weights=edge_weights,
         )
+        # Pretrained ingestion (reference Multi_GCN_Multihead_att.py:586-595,
+        # 629): replace the random trunks post-init so the imported arrays
+        # arrive as data, not as constants baked into the jitted init.
+        if args.init_from_reference:
+            from mgnns_tpu.models.import_reference import import_reference_state_dict
+
+            sd, _ = load_torch_state_dict(args.init_from_reference)
+            params, batch_stats = import_reference_state_dict(
+                sd, num_layers=args.num_layers,
+                bidirectional=args.bidirectional, stack_num=args.stack_num)
+            got_v = params["embedding"]["table"].shape[0]
+            if got_v != len(vocab):
+                raise SystemExit(
+                    f"--init_from_reference vocab mismatch: checkpoint has "
+                    f"{got_v} rows, this corpus/config has {len(vocab)} "
+                    f"(check --text_min_count/--pmi_phase)")
+            print(f"initialized all weights from {args.init_from_reference}")
+        for side, ckpt_path, depth in (("object", args.object_trunk_ckpt, 101),
+                                       ("place", args.place_trunk_ckpt, 50)):
+            if not ckpt_path:
+                continue
+            if args.init_from_reference:
+                raise SystemExit("--init_from_reference already sets both "
+                                 "trunks; drop the trunk ckpt flags")
+            from mgnns_tpu.nn.resnet import import_torch_state_dict
+
+            sd, _ = load_torch_state_dict(ckpt_path)
+            tp, ts = import_torch_state_dict(sd, depth)
+            params[f"{side}_trunk"], batch_stats[f"{side}_trunk"] = tp, ts
+            print(f"loaded {side} trunk (resnet{depth}) from {ckpt_path}")
         object_inp = jax.device_put(consts_np["object_inp"])
         place_inp = jax.device_put(consts_np["place_inp"])
 
@@ -310,7 +401,37 @@ def main(argv=None) -> dict:
             )
             return logits, new_bs, aux.get("head_diversity", 0.0)
 
-    steps_per_epoch = max(1, len(train_ds) // (args.batch_size * args.grad_accumulation_steps))
+    device_put = None
+    loader_batch = args.batch_size
+    if mesh is not None:
+        from mgnns_tpu.parallel.mesh import _BATCH_FIELDS, batch_device_put
+
+        if multihost_active:
+            from mgnns_tpu.parallel.multihost import host_local_to_global
+
+            # each host assembles its share of the global batch; the hook
+            # stitches per-host shards into global 'data'-sharded arrays
+            loader_batch = args.batch_size // jax.process_count()
+            device_put = lambda b: host_local_to_global(b, mesh, _BATCH_FIELDS)
+        else:
+            device_put = lambda b: batch_device_put(b, mesh)
+
+    def split_num_batches(ds, per_host_batch):
+        """Forced per-epoch batch count (identical across hosts), or None
+        for the loader's natural count when single-process."""
+        if multihost_active:
+            from mgnns_tpu.parallel.multihost import epoch_num_batches
+
+            return epoch_num_batches(ds.global_len,
+                                     per_host_batch * jax.process_count())
+        return None
+
+    # LR-schedule epoch length counts APPLIED optimizer steps actually run
+    # per epoch: the loader's batch count (per-host batch under multihost)
+    # over the accumulation factor.
+    train_batches = (split_num_batches(train_ds, loader_batch)
+                     or (len(train_ds) + loader_batch - 1) // loader_batch)
+    steps_per_epoch = max(1, train_batches // args.grad_accumulation_steps)
     engine = Engine(
         apply_fn, params, batch_stats,
         num_classes=args.num_labels, lr=args.lr, lrp=args.lrp,
@@ -324,31 +445,23 @@ def main(argv=None) -> dict:
         max_to_keep=args.max_to_keep, mesh=mesh, param_sharding_rules=rules,
     )
 
-    device_put = None
-    loader_batch = args.batch_size
-    if mesh is not None:
-        from mgnns_tpu.parallel.mesh import _BATCH_FIELDS, batch_device_put
-
-        if args.multihost and jax.process_count() > 1:
-            from mgnns_tpu.parallel.multihost import host_local_to_global
-
-            # each host assembles its share of the global batch; the hook
-            # stitches per-host shards into global 'data'-sharded arrays
-            loader_batch = args.batch_size // jax.process_count()
-            device_put = lambda b: host_local_to_global(b, mesh, _BATCH_FIELDS)
-        else:
-            device_put = lambda b: batch_device_put(b, mesh)
-
     eval_batch = loader_batch
     if args.eval_batch_size:
         eval_batch = args.eval_batch_size
-        if args.multihost and jax.process_count() > 1:
+        if multihost_active:
             eval_batch //= jax.process_count()
 
     # Greedy HBM budget for device-resident pixel tables (train first —
     # it reships every epoch otherwise; splits past the budget use the
     # per-batch upload path).
     _device_images_for: dict = {}
+    if args.device_images and (mesh is not None or multihost_active):
+        # the pixel table is committed to the default device; a mesh batch's
+        # sample_index is a NamedSharding array (and multihost indices are
+        # host-local), so the eager on-device gather cannot work as-is
+        raise SystemExit(
+            "--device_images is incompatible with --mesh_data/--mesh_model "
+            "> 1 and --multihost; drop it (per-batch upload shards fine)")
     if args.device_images:
         budget = args.device_images_budget_gb * 1e9
         for ds in (train_ds, val_ds, test_ds):
@@ -374,10 +487,11 @@ def main(argv=None) -> dict:
         key = (id(ds), shuffle)
         if key not in _loader_cache:
             dev_imgs = _device_images_for.get(id(ds), False)
+            per_host = loader_batch if shuffle else eval_batch
             _loader_cache[key] = DeviceLoader(
-                ds, loader_batch if shuffle else eval_batch, shuffle=shuffle,
+                ds, per_host, shuffle=shuffle,
                 seed=args.seed, num_threads=args.workers, with_images=with_images,
-                device_put=device_put,
+                device_put=device_put, num_batches=split_num_batches(ds, per_host),
                 # caching pixel batches only pays when the loader is
                 # iterated more than once (pixel-free batches are cheap
                 # either way with a device table)
@@ -387,6 +501,38 @@ def main(argv=None) -> dict:
             )
         ld = _loader_cache[key]
         return lambda: ld
+
+    # --resume semantics (reference engine/...:347-357 resumes from an
+    # explicit file): bare --resume = this run's latest; a directory = that
+    # Orbax checkpoint; a .pth[.tar] = imported reference weights.
+    resume_latest = False
+    if args.resume == "latest":
+        resume_latest = True
+    elif args.resume:
+        if os.path.isdir(args.resume) and not args.resume.endswith((".pth", ".pth.tar", ".pt")):
+            engine.restore_from_dir(args.resume)
+            print(f"resumed train state from {args.resume} (epoch {engine.epoch})")
+        elif os.path.isfile(args.resume):
+            if args.text_only:
+                raise SystemExit("--resume <torch ckpt> needs the fusion "
+                                 "model; drop --text_only")
+            from mgnns_tpu.models.import_reference import import_reference_state_dict
+
+            sd, meta = load_torch_state_dict(args.resume)
+            p_imp, bs_imp = import_reference_state_dict(
+                sd, num_layers=args.num_layers,
+                bidirectional=args.bidirectional, stack_num=args.stack_num)
+            engine.load_model_state(p_imp, bs_imp)
+            if "epoch" in meta:
+                # the reference stores the NEXT epoch index (engine/...:390)
+                engine.epoch = int(meta["epoch"])
+            if "best_score" in meta:
+                engine.best_score = float(meta["best_score"])
+            print(f"resumed weights from torch checkpoint {args.resume} "
+                  f"(epoch {engine.epoch}, fresh optimizer)")
+        else:
+            raise SystemExit(f"--resume: {args.resume!r} is neither a "
+                             f"checkpoint directory nor a .pth[.tar] file")
 
     run_config = {
         "text_min_count": args.text_min_count, "ngram": args.ngram,
@@ -405,14 +551,14 @@ def main(argv=None) -> dict:
         res = engine.learning(
             loader(train_ds, True), loader(val_ds, False),
             loader(test_ds, False, reused=(test_ds is val_ds)),
-            max_epochs=args.epochs, resume=args.resume is not None,
+            max_epochs=args.epochs, resume=resume_latest,
             log_every=args.print_freq, result_paths=result_paths, run_config=run_config,
             profile_dir=args.profile_dir, metrics_path=args.metrics_path,
         )
     else:
         res = engine.learning(
             loader(train_ds, True), loader(val_ds, False), None,
-            max_epochs=args.epochs, resume=args.resume is not None,
+            max_epochs=args.epochs, resume=resume_latest,
             log_every=args.print_freq, profile_dir=args.profile_dir,
             metrics_path=args.metrics_path,
         )

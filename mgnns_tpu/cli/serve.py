@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_backend", type=str, default="pil",
                    choices=["pil", "synthetic"])
     p.add_argument("--image_root", type=str, default=".")
+    p.add_argument("--init_from_reference", type=str, default=None,
+                   help="serve weights imported from a reference torch "
+                        "checkpoint (.pth[.tar]) instead of the Orbax state "
+                        "in --checkpoint (fusion model only)")
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
@@ -90,7 +94,7 @@ def make_server(args) -> HTTPServer:
         args.data_root_path, args.checkpoint, text_only=args.text_only,
         pmi_phase=args.pmi_phase, image_backend=args.image_backend,
         image_root=args.image_root, max_batch=args.max_batch,
-        strict_images=False,
+        strict_images=False, reference_ckpt=args.init_from_reference,
     )
     # warm the compiled program so the first request isn't a compile
     predictor.predict([{"text": "warmup"}])

@@ -38,10 +38,22 @@ class DeviceLoader:
         device_put=None,
         cache_device_batches: bool = False,
         device_images: bool = False,
+        num_batches: int | None = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        # Multi-host SPMD: every process must run the SAME number of jitted
+        # steps per epoch or the host with extra batches blocks forever in
+        # its collectives.  ``num_batches`` forces the epoch length: a host
+        # whose data runs out emits fully-padded batches (``weight`` all
+        # zero, so they contribute nothing to loss/metrics — other hosts'
+        # rows of the same global step still carry real samples).
+        natural = (len(dataset) + batch_size - 1) // batch_size
+        if num_batches is not None and num_batches < natural:
+            raise ValueError(
+                f"num_batches={num_batches} < {natural} batches of data")
+        self.num_batches = num_batches if num_batches is not None else natural
         self.seed = seed
         self.epoch = 0
         self.num_threads = num_threads
@@ -70,12 +82,13 @@ class DeviceLoader:
         self._image_table = None
 
     def __len__(self) -> int:
-        return (len(self.ds) + self.batch_size - 1) // self.batch_size
+        return self.num_batches
 
-    def _assemble(self, idx: np.ndarray, pool: ThreadPoolExecutor | None, rng: random.Random):
+    def _assemble(self, idx: np.ndarray, pool: ThreadPoolExecutor | None, rng: random.Random,
+                  n_valid: int | None = None):
         B = self.batch_size
-        n = len(idx)
-        pad = B - n
+        n = len(idx) if n_valid is None else n_valid
+        pad = B - len(idx)
         full_idx = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
         t = self.ds.text
         batch = {
@@ -140,7 +153,10 @@ class DeviceLoader:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
         rng = random.Random(self.seed + self.epoch)
-        chunks = [order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)]
+        chunks = [(order[i : i + self.batch_size], None)
+                  for i in range(0, len(order), self.batch_size)]
+        # forced epoch length: all-padding batches past the data's end
+        chunks += [(order[-1:], 0)] * (self.num_batches - len(chunks))
 
         q: queue.Queue = queue.Queue(maxsize=3)
         stop = threading.Event()
@@ -164,10 +180,10 @@ class DeviceLoader:
             pool = (ThreadPoolExecutor(self.num_threads)
                     if self.with_images and not self.device_images else None)
             try:
-                for chunk in chunks:
+                for chunk, n_valid in chunks:
                     if stop.is_set():
                         return
-                    if not put_or_stop(self._assemble(chunk, pool, rng)):
+                    if not put_or_stop(self._assemble(chunk, pool, rng, n_valid)):
                         return
                 put_or_stop(None)
             except BaseException as e:  # surface producer errors to consumer

@@ -98,6 +98,7 @@ class Engine:
             accumulation_steps=accumulation_steps, freeze_trunks=freeze_trunks,
         )
         self.mesh = mesh
+        self._param_rules = param_sharding_rules
         if mesh is not None and param_sharding_rules is not None:
             from mgnns_tpu.parallel.sharding import shard_pytree
 
@@ -340,8 +341,9 @@ class Engine:
         }
         self.checkpointer.save(int(self.state.step), payload, metrics)
 
-    def restore(self, step: int | None = None) -> None:
-        assert self.checkpointer is not None
+    def restore(self, step: int | None = None, checkpointer=None) -> None:
+        checkpointer = checkpointer or self.checkpointer
+        assert checkpointer is not None
         template = {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
@@ -350,7 +352,7 @@ class Engine:
             "epoch": np.array(self.epoch, np.int32),
             "best_score": np.array(self.best_score, np.float32),
         }
-        restored = self.checkpointer.restore(step, template)
+        restored = checkpointer.restore(step, template)
         self.state = TrainState(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
@@ -360,3 +362,29 @@ class Engine:
         )
         self.epoch = int(restored["epoch"]) + 1
         self.best_score = float(restored["best_score"])
+
+    def restore_from_dir(self, path: str, step: int | None = None) -> None:
+        """Resume the FULL train state from an explicit checkpoint directory
+        (the reference resumes from a named file, ``engine/...:347-357``;
+        our unit is an Orbax directory)."""
+        from mgnns_tpu.engine.checkpoint import Checkpointer
+
+        self.restore(step, checkpointer=Checkpointer(path, max_to_keep=0))
+
+    def load_model_state(self, params: Any, batch_stats: Any) -> None:
+        """Replace model params/batch_stats (e.g. weights imported from a
+        reference torch checkpoint), re-initializing the optimizer state —
+        matching the reference's resume, which restores ``state_dict`` only
+        (``engine/...:347-357``; torch never checkpointed optimizer state)."""
+        if self.mesh is not None and self._param_rules is not None:
+            from mgnns_tpu.parallel.sharding import shard_pytree
+
+            params = shard_pytree(params, self.mesh, self._param_rules)
+            batch_stats = shard_pytree(batch_stats, self.mesh, {})
+        self.state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            step=self.state.step,
+            rng=self.state.rng,
+        )

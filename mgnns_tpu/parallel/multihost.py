@@ -65,11 +65,28 @@ def process_batch_slice(n_samples: int, batch_size: int) -> tuple[int, int, int]
     p = jax.process_count()
     i = jax.process_index()
     if batch_size % p:
-        raise ValueError(f"global batch {batch_size} must divide process count {p}")
+        raise ValueError(f"process count {p} must divide global batch {batch_size}")
     base, extra = divmod(n_samples, p)
     start = i * base + min(i, extra)
     stop = start + base + (1 if i < extra else 0)
     return start, stop, batch_size // p
+
+
+def epoch_num_batches(n_samples: int, batch_size: int) -> int:
+    """Per-epoch batch count, IDENTICAL on every host.
+
+    Sample ranges are balanced only to within one sample, so hosts can have
+    different natural batch counts (N=101, p=2, B=50: host0 has 3, host1
+    has 2) — in SPMD the host running the extra step would block forever in
+    its collectives.  Pass this as ``DeviceLoader(num_batches=...)``: short
+    hosts emit all-padding (``weight`` 0) batches for the tail steps, so
+    every host executes the same global program the same number of times.
+    """
+    p = jax.process_count()
+    per_host_batch = batch_size // p
+    base, extra = divmod(n_samples, p)
+    max_host_n = base + (1 if extra else 0)
+    return max(1, (max_host_n + per_host_batch - 1) // per_host_batch)
 
 
 def host_local_to_global(batch: dict, mesh: Mesh, batch_fields: set[str]) -> dict:

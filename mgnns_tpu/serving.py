@@ -155,8 +155,15 @@ class Predictor:
         max_batch: int = 16,
         step: int | None = None,
         strict_images: bool = True,
+        reference_ckpt: str | None = None,
     ) -> "Predictor":
         """Restore a Predictor from an engine checkpoint.
+
+        ``reference_ckpt``: serve weights imported from a reference torch
+        checkpoint (``.pth[.tar]``, reference ``engine/...:624-643`` format)
+        instead of an Orbax restore — ``checkpoint_dir`` then only supplies
+        the preproc artifacts (or pass the data_root fallback).  Fusion
+        model only.
 
         Preprocessing state (vocab, PMI graph, label map, graph config) is
         loaded from the ``preproc`` artifacts the training CLI persists next
@@ -175,7 +182,10 @@ class Predictor:
 
         from mgnns_tpu.engine.checkpoint import Checkpointer
 
-        ckpt = Checkpointer(checkpoint_dir)
+        if text_only and reference_ckpt:
+            raise ValueError("reference_ckpt holds the fusion model; "
+                             "text_only cannot serve it")
+        ckpt = None if reference_ckpt else Checkpointer(checkpoint_dir)
         if text_only:
             from mgnns_tpu.models import text_model_apply, text_model_init
 
@@ -211,9 +221,23 @@ class Predictor:
                 jax.random.key(0), cfg, num_edges=graph.num_edges,
                 label_embedding=consts_np["label_embedding"],
                 object_A=consts_np["object_A"], place_A=consts_np["place_A"])
-            raw = ckpt.restore(step)
-            params = _conform(tparams, raw["params"])
-            bstats = _conform(tbstats, raw["batch_stats"])
+            if reference_ckpt:
+                from mgnns_tpu.cli.main import load_torch_state_dict
+                from mgnns_tpu.models.import_reference import import_reference_state_dict
+
+                sd, _ = load_torch_state_dict(reference_ckpt)
+                params, bstats = import_reference_state_dict(
+                    sd, num_layers=cfg.num_layers,
+                    bidirectional=cfg.bidirectional, stack_num=cfg.stack_num)
+                if params["embedding"]["table"].shape[0] != len(vocab):
+                    raise ValueError(
+                        f"reference_ckpt vocab size "
+                        f"{params['embedding']['table'].shape[0]} != serving "
+                        f"vocab {len(vocab)}")
+            else:
+                raw = ckpt.restore(step)
+                params = _conform(tparams, raw["params"])
+                bstats = _conform(tbstats, raw["batch_stats"])
             object_inp = jax.device_put(consts_np["object_inp"])
             place_inp = jax.device_put(consts_np["place_inp"])
 

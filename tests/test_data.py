@@ -152,3 +152,26 @@ def test_device_images_rejects_nondeterministic_pixels(text_side, tmp_path):
                        train_transforms=True, records=read_anno(REF, "val")[:4])
     with pytest.raises(ValueError, match="device_images"):
         DeviceLoader(ds, batch_size=2, shuffle=True, device_images=True)
+
+
+def test_loader_forced_num_batches(small_ds):
+    """Multi-host epoch-length forcing: a loader with num_batches beyond its
+    data emits all-padding batches (weight 0) so every host runs the same
+    number of SPMD steps; valid-sample accounting is unchanged."""
+    loader = DeviceLoader(small_ds, batch_size=32, shuffle=False,
+                          with_images=False, num_batches=5)
+    batches = list(loader)
+    assert len(loader) == 5 and len(batches) == 5
+    for b in batches:
+        assert b["ids"].shape == (32, 100)
+    weights = [int(np.asarray(b["weight"]).sum()) for b in batches]
+    assert weights == [32, 32, 6, 0, 0]
+    assert sum(weights) == 70
+    # shuffled loaders accept forcing too
+    sl = DeviceLoader(small_ds, batch_size=32, shuffle=True,
+                      with_images=False, num_batches=4)
+    ws = [int(np.asarray(b["weight"]).sum()) for b in sl]
+    assert len(ws) == 4 and sum(ws) == 70 and ws[-1] == 0
+    # forcing below the natural count would drop data: rejected
+    with pytest.raises(ValueError):
+        DeviceLoader(small_ds, batch_size=32, num_batches=2)

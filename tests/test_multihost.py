@@ -73,3 +73,32 @@ def test_host_local_to_global_matches_device_put():
         assert g[k].sharding.spec == ref[k].sharding.spec, k
     assert tuple(g["ids"].sharding.spec) == ("data", None)
     assert g["object_inp"].sharding.spec == P()
+
+
+def test_epoch_num_batches_identical_across_hosts(monkeypatch):
+    """Every host must derive the SAME epoch length from the global split
+    size, padding its own short tail with weight-0 batches (the ADVICE r2
+    hang: N=101, p=2, B=50 -> host0 ran 3 steps, host1 ran 2)."""
+    from mgnns_tpu.parallel import multihost as mh
+
+    def nb(n, batch, p):
+        monkeypatch.setattr(mh.jax, "process_count", lambda: p)
+        return mh.epoch_num_batches(n, batch)
+
+    # the ADVICE scenario: both hosts must run 3 steps
+    assert nb(101, 50, 2) == 3
+    # even split: natural count
+    assert nb(100, 50, 2) == 2
+    assert nb(100, 50, 1) == 2
+    # balanced-to-within-one slices: the max host size drives the count
+    # (hosts get 26/26/26/25 samples, per-host batch 4 -> ceil(26/4) = 7)
+    assert nb(103, 16, 4) == 7
+    assert nb(7, 8, 8) == 1
+
+
+def test_forced_epoch_length_matches_loader_math():
+    """Single-process: epoch_num_batches equals the loader's natural count."""
+    from mgnns_tpu.parallel.multihost import epoch_num_batches
+
+    for n, b in [(70, 32), (64, 32), (1, 16), (100, 7)]:
+        assert epoch_num_batches(n, b) == (n + b - 1) // b

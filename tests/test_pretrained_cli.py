@@ -1,0 +1,223 @@
+"""Pretrained-weight ingestion + --resume semantics through the real CLI.
+
+The reference's accuracy story depends on pretrained backbones
+(``models/Multi_GCN_Multihead_att.py:629`` resnet101(pretrained=True);
+``:586-595`` Places365 resnet50) and on resuming from an explicit checkpoint
+file (``engine/Multi_GCN_Multihead_Att_engine.py:347-357``).  These tests
+drive those paths end-to-end: torch-format fixture checkpoints -> CLI flags
+-> assert the saved engine state provably carries the imported weights.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+REF = "/root/reference/data"
+pytestmark = pytest.mark.skipif(not os.path.exists(REF), reason="reference data unavailable")
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+
+
+def _stage_tiny_root(tmp_path):
+    """A writable data root with a TINY corpus (small vocab => small fusion
+    model tables) + the real constant pickles."""
+    import shutil
+
+    root = tmp_path / "data"
+    (root / "all_anno_json").mkdir(parents=True)
+    (root / "glove").mkdir()
+    (root / "adj").mkdir()
+    labels = ["happy", "sad", "angry", "bored", "calm", "fear", "love"]
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(30)]
+    for phase, n in (("train", 12), ("val", 8)):
+        with open(root / "all_anno_json" / f"{phase}_all_anno.json", "w") as f:
+            for i in range(n):
+                text = " ".join(rng.choice(words, size=6))
+                f.write(json.dumps({
+                    "id": f"{phase}{i}", "text": text,
+                    "image": f"{phase}{i}.jpg", "label": labels[i % 7],
+                }) + "\n")
+    for name in ("glove/object_glove_word2vec.pkl", "glove/place_glove_word2vec.pkl",
+                 "adj/tumblr_objects_adj.pkl", "adj/tumblr_resnet50_places_adj.pkl",
+                 "tumblr_label_glove.pkl", "label.json"):
+        shutil.copy(f"{REF}/{name}", root / name)
+    return root
+
+
+def _make_trunk_sd(depth, seed):
+    """(torchvision-named state_dict, (params, stats)) for a random trunk."""
+    from mgnns_tpu.models import import_reference as IR
+    from mgnns_tpu.nn import resnet
+
+    params, stats = resnet.resnet_init(jax.random.key(seed), depth=depth)
+    out = {}
+    IR._exp_trunk(out, "t", params, stats, depth)
+    # _exp_trunk emits the reference's Sequential indices ("0", "1", "4"...);
+    # map back to torchvision names ("conv1", "bn1", "layer1"...)
+    sd = {}
+    for k, v in out.items():
+        idx, _, tail = k[2:].partition(".")
+        sd[IR._TRUNK_SEQ[idx] + ("." + tail if tail else "")] = v
+    return sd, (params, stats)
+
+
+def _cli_args(root, tmp_path, extra):
+    return [
+        "--data_root_path", str(root), "--pmi_phase", "train",
+        "--train_phase", "train", "--val_phase", "val", "--test_phase", "val",
+        "--epochs", "1", "-b", "4", "--image-size", "64",
+        "--bn_mode", "frozen", "--freeze_trunks",
+        "--save_model_path", str(tmp_path / "ckpt"),
+        "--save_experiment_result_path", str(tmp_path / "exp"),
+        "--save_pred_result_path", str(tmp_path / "pred"),
+    ] + extra
+
+
+def _restored_engine_params(ckpt_dir):
+    from mgnns_tpu.engine.checkpoint import Checkpointer
+
+    raw = Checkpointer(str(ckpt_dir)).restore()
+    return raw["params"], raw["batch_stats"]
+
+
+def _leaf(tree, path):
+    node = tree
+    for k in path:
+        node = node[k]
+    return np.asarray(node)
+
+
+# ---------------------------------------------------------------------------
+# trunk checkpoints
+
+
+@pytest.mark.slow
+def test_cli_trunk_ckpt_ingestion(tmp_path):
+    """--object_trunk_ckpt/--place_trunk_ckpt load torch .pth[.tar] files;
+    with --freeze_trunks the saved engine state must carry the imported
+    trunk weights bit-exactly."""
+    import torch
+
+    from mgnns_tpu.cli.main import main
+
+    root = _stage_tiny_root(tmp_path)
+    obj_sd, (obj_p, _) = _make_trunk_sd(101, seed=1)
+    plc_sd, (plc_p, plc_s) = _make_trunk_sd(50, seed=2)
+
+    obj_path = tmp_path / "resnet101.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in obj_sd.items()},
+               obj_path)
+    # Places365 format: {'state_dict': ...} with DataParallel 'module.' prefix
+    plc_path = tmp_path / "resnet50_places365.pth.tar"
+    torch.save({"state_dict": {f"module.{k}": torch.from_numpy(np.asarray(v))
+                               for k, v in plc_sd.items()}}, plc_path)
+
+    main(_cli_args(root, tmp_path, [
+        "--object_trunk_ckpt", str(obj_path),
+        "--place_trunk_ckpt", str(plc_path),
+    ]))
+
+    params, bstats = _restored_engine_params(tmp_path / "ckpt" / "mgnns_tpu")
+    np.testing.assert_array_equal(
+        _leaf(params, ["object_trunk", "conv1", "w"]),
+        np.asarray(obj_p["conv1"]["w"]))
+    np.testing.assert_array_equal(
+        _leaf(params, ["object_trunk", "layer3", "rest", "conv2", "w"]),
+        np.asarray(obj_p["layer3"]["rest"]["conv2"]["w"]))
+    np.testing.assert_array_equal(
+        _leaf(params, ["place_trunk", "conv1", "w"]),
+        np.asarray(plc_p["conv1"]["w"]))
+    # batch stats came through the 'module.'-prefixed .pth.tar wrapper
+    np.testing.assert_array_equal(
+        _leaf(bstats, ["place_trunk", "bn1", "mean"]),
+        np.asarray(plc_s["bn1"]["mean"]))
+
+
+@pytest.mark.slow
+def test_cli_init_from_reference_and_torch_resume(tmp_path):
+    """--init_from_reference and --resume <x.pth.tar> both load a full
+    reference-format checkpoint produced by the exporter."""
+    import torch
+
+    from mgnns_tpu.cli.main import main
+    from mgnns_tpu.config import ModelConfig, TextGraphConfig
+    from mgnns_tpu.data.dataset import load_constants
+    from mgnns_tpu.config import DataConfig
+    from mgnns_tpu.data.text import build_text_side
+    from mgnns_tpu.models import mgnns_init
+    from mgnns_tpu.models.import_reference import export_reference_state_dict
+
+    root = _stage_tiny_root(tmp_path)
+    graph_cfg = TextGraphConfig()
+    vocab, graph, _ = build_text_side(str(root), graph_cfg, [], pmi_phase="train")
+    data_cfg = DataConfig(
+        data_root_path=str(root),
+        object_inp_name=f"{root}/glove/object_glove_word2vec.pkl",
+        place_inp_name=f"{root}/glove/place_glove_word2vec.pkl",
+        label_glove_name=f"{root}/tumblr_label_glove.pkl",
+        object_adj_file=f"{root}/adj/tumblr_objects_adj.pkl",
+        place_adj_file=f"{root}/adj/tumblr_resnet50_places_adj.pkl",
+        image_backend="synthetic")
+    consts_np = load_constants(data_cfg, object_t=0.4, place_t=0.3)
+    cfg = ModelConfig(vocab_size=len(vocab), edges_num=graph.num_edges,
+                      image_size=64)
+    params, stats, _ = mgnns_init(
+        jax.random.key(7), cfg, num_edges=graph.num_edges,
+        label_embedding=consts_np["label_embedding"],
+        object_A=consts_np["object_A"], place_A=consts_np["place_A"])
+    sd = export_reference_state_dict(params, stats)
+    ckpt_path = tmp_path / "reference_model_best.pth.tar"
+    torch.save({"epoch": 0, "arch": "Multi_GCN_Multihead_Att", "best_score": 0.0,
+                "state_dict": {k: torch.from_numpy(np.asarray(v))
+                               for k, v in sd.items()}}, ckpt_path)
+
+    # --init_from_reference: all weights start from the checkpoint
+    main(_cli_args(root, tmp_path, ["--init_from_reference", str(ckpt_path)]))
+    got, _ = _restored_engine_params(tmp_path / "ckpt" / "mgnns_tpu")
+    np.testing.assert_array_equal(
+        _leaf(got, ["object_trunk", "conv1", "w"]),
+        np.asarray(params["object_trunk"]["conv1"]["w"]))
+
+    # --resume <torch ckpt>: same import through the resume path
+    main(_cli_args(root, tmp_path / "r2", ["--resume", str(ckpt_path)]))
+    got2, _ = _restored_engine_params(tmp_path / "r2" / "ckpt" / "mgnns_tpu")
+    np.testing.assert_array_equal(
+        _leaf(got2, ["place_trunk", "conv1", "w"]),
+        np.asarray(params["place_trunk"]["conv1"]["w"]))
+
+
+# ---------------------------------------------------------------------------
+# --resume <dir> (fast, text-only)
+
+
+def test_cli_resume_from_explicit_dir(tmp_path):
+    """--resume <dir> restores the full train state from that directory and
+    continues at the next epoch, even into a run with a different
+    checkpoint dir."""
+    from mgnns_tpu.cli.main import main
+
+    base = [
+        "--data_root_path", REF, "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val", "--test_phase", "val",
+        "--text_only", "-b", "32", "--limit_samples", "64", "--lr", "1e-3",
+    ]
+    res1 = main(base + ["--epochs", "1",
+                        "--save_model_path", str(tmp_path / "a")])
+    assert [h["epoch"] for h in res1["history"]] == [0]
+
+    src = str(tmp_path / "a" / "mgnns_tpu")
+    res2 = main(base + ["--epochs", "2", "--resume", src,
+                        "--save_model_path", str(tmp_path / "b")])
+    # epoch 0 was done in run A; run B trains only epoch 1
+    assert [h["epoch"] for h in res2["history"]] == [1]
+
+    # a bogus resume target fails loudly, not silently-fresh
+    with pytest.raises(SystemExit):
+        main(base + ["--epochs", "1", "--resume", str(tmp_path / "nope.xyz"),
+                     "--save_model_path", str(tmp_path / "c")])
