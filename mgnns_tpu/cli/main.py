@@ -151,7 +151,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bn_mode", type=str, default="batch", choices=["batch", "frozen"],
                    help="'batch'=torch-faithful train-mode BatchNorm; 'frozen'=running stats")
     p.add_argument("--remat_trunks", action="store_true",
-                   help="jax.checkpoint the ResNet trunks (memory for FLOPs)")
+                   help="jax.checkpoint the ResNet trunks (memory for FLOPs); "
+                        "alias for --remat_policy trunk")
+    p.add_argument("--remat_policy", type=str, default="none",
+                   choices=["none", "trunk", "block"],
+                   help="trunk rematerialization granularity: 'block' "
+                        "checkpoints each bottleneck block (per-block peak "
+                        "memory; the lever for large-batch fine-tuning)")
     p.add_argument("--unroll_trunks", action="store_true",
                    help="unroll the per-stage residual-block scans: slower "
                         "compile, ~19%% faster ResNet-101 backward")
@@ -309,7 +315,8 @@ def main(argv=None) -> dict:
         place_num_classes=args.place_num_classes, object_t=args.object_t_value,
         place_t=args.place_t_value, image_size=args.image_size,
         edges_num=graph.num_edges, compute_dtype=compute_dtype,
-        remat_trunks=args.remat_trunks, bn_mode=args.bn_mode,
+        remat_trunks=args.remat_trunks, remat_policy=args.remat_policy,
+        bn_mode=args.bn_mode,
         unroll_trunks=args.unroll_trunks, freeze_trunks=args.freeze_trunks,
     )
 

@@ -79,6 +79,13 @@ class ModelConfig:
     # jax.checkpoint the ResNet trunks: trades recompute for activation
     # memory, enabling much larger batches at 448px.
     remat_trunks: bool = False
+    # Rematerialization granularity for the trunks: 'none', 'trunk' (one
+    # jax.checkpoint around the whole trunk — cheapest memory, recomputes the
+    # full forward in the backward), or 'block' (checkpoint each bottleneck
+    # block — keeps stage boundaries resident so the backward re-runs only
+    # one block at a time; the standard policy for deep conv stacks at large
+    # batch).  remat_trunks=True is kept as an alias for 'trunk'.
+    remat_policy: str = "none"
     # Unroll the per-stage residual-block scans.  The scan formulation
     # compiles an order of magnitude faster (one block body per stage);
     # unrolling lets XLA schedule each block's backward individually, ~19%

@@ -195,23 +195,36 @@ class DeviceLoader:
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         collected = [] if self.cache_device_batches else None
+
+        def place(item):
+            dev = self._device_put(item)
+            if self.device_images:
+                if collected is not None:
+                    collected.append(dict(dev))  # pixel-free
+                dev["image"] = jnp.take(
+                    self._ensure_image_table(), dev["sample_index"], axis=0)
+            elif collected is not None:
+                collected.append(dev)
+            return dev
+
+        # Double buffering: dispatch batch k+1's (async) device placement
+        # BEFORE yielding batch k, so its H2D transfer overlaps the
+        # consumer's jitted step on batch k.
+        pending = None
         try:
             while True:
                 item = q.get()
                 if item is None:
+                    if pending is not None:
+                        yield pending
                     if collected is not None:
                         self._device_cache = collected
                     return
                 if isinstance(item, BaseException):
                     raise item
-                dev = self._device_put(item)
-                if self.device_images:
-                    if collected is not None:
-                        collected.append(dict(dev))  # pixel-free
-                    dev["image"] = jnp.take(
-                        self._ensure_image_table(), dev["sample_index"], axis=0)
-                elif collected is not None:
-                    collected.append(dev)
-                yield dev
+                dev = place(item)
+                if pending is not None:
+                    yield pending
+                pending = dev
         finally:
             stop.set()

@@ -12,9 +12,13 @@ shift realized as a VMEM ``pltpu.roll`` (no gather).
 Grid: one program per document (B programs).  VMEM footprint per program is
 L*D + L*W floats (~120 KB at L=100, D=300) — far under the ~16 MB budget.
 
-Gradients: the op is wrapped in ``jax.custom_vjp`` whose backward pass is the
-VJP of the jnp reference implementation, so training with ``use_pallas=True``
-produces gradients identical to the XLA path.
+Gradients: the op is wrapped in ``jax.custom_vjp`` whose backward pass is a
+second Pallas kernel (:func:`_bwd_kernel`) that recomputes the forward max
+chain in VMEM and distributes the cotangent through it with ``jnp.maximum``'s
+balanced-tie semantics (0.5/0.5 at exact ties), so training with
+``use_pallas=True`` produces gradients identical to the XLA path — without
+XLA re-running its own forward inside the backward (set
+``MGNNS_PALLAS_XLA_BWD=1`` to fall back to the jnp VJP).
 """
 
 from __future__ import annotations
@@ -84,16 +88,101 @@ def window_max_aggregate_pallas(emb, w, lens, ngram: int, interpret: bool = Fals
     return _forward(emb, w, lens, ngram, interpret)
 
 
+def _bwd_kernel(lens_ref, emb_ref, w_ref, g_ref, demb_ref, dw_ref, *, ngram: int):
+    """Backward: recompute the forward max chain, then walk it in reverse.
+
+    ``jnp.maximum``'s VJP sends the cotangent to each operand via
+    ``(operand == ans) / (1 + (other == ans))`` — 1 to a strict winner,
+    0.5/0.5 at an exact tie — with the running accumulator's initial
+    ``full(-inf)`` a constant that absorbs no gradient.  Reproducing that
+    chain exactly keeps pallas-trained gradients bit-comparable to the XLA
+    path (parity-tested incl. engineered ties).
+    """
+    L, D = demb_ref.shape
+    length = lens_ref[pl.program_id(0)]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    emb = emb_ref[:]
+    w = w_ref[:]
+    g = g_ref[:]
+    neg = jnp.float32(-jnp.inf)
+    offsets = list(range(-ngram, ngram + 1))
+
+    # forward chain, keeping every intermediate accumulator in VMEM
+    accs = [jnp.full((L, D), neg, jnp.float32)]
+    msgs, valids, srcs = [], [], []
+    for k, o in enumerate(offsets):
+        src = pltpu.roll(emb, (-o) % L, 0) if o != 0 else emb
+        valid = (rows + o >= 0) & (rows + o < length) & (rows < length)
+        msg = jnp.where(valid, src * w[:, k][:, None], neg)
+        accs.append(jnp.maximum(accs[-1], msg))
+        msgs.append(msg)
+        valids.append(valid)
+        srcs.append(src)
+
+    g_acc = g
+    d_emb = jnp.zeros((L, D), jnp.float32)
+    dw_cols = [None] * len(offsets)
+    one = jnp.float32(1.0)
+    for k in range(len(offsets) - 1, -1, -1):
+        prev, msg, out = accs[k], msgs[k], accs[k + 1]
+        msg_hits = (msg == out).astype(jnp.float32)
+        prev_hits = (prev == out).astype(jnp.float32)
+        d_msg = g_acc * msg_hits / (one + prev_hits)
+        g_acc = g_acc * prev_hits / (one + msg_hits)
+        # msg = where(valid, src * w, -inf): gradient only where valid
+        d_msg = jnp.where(valids[k], d_msg, 0.0)
+        dw_cols[k] = jnp.sum(d_msg * srcs[k], axis=1)
+        d_src = d_msg * w[:, k][:, None]
+        o = offsets[k]
+        # src = roll(emb, -o): its VJP is the inverse roll
+        d_emb += pltpu.roll(d_src, o % L, 0) if o != 0 else d_src
+    demb_ref[:] = d_emb
+    dw_ref[:] = jnp.stack(dw_cols, axis=1)
+
+
+def _backward(emb, w, lens, g, ngram: int, interpret: bool = False):
+    B, L, D = emb.shape
+    W = 2 * ngram + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, L, D), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec((None, L, W), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec((None, L, D), lambda b, lens: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, L, D), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec((None, L, W), lambda b, lens: (b, 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, ngram=ngram),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, L, W), jnp.float32)],
+        interpret=interpret,
+    )(lens.astype(jnp.int32), emb.astype(jnp.float32),
+      w.astype(jnp.float32), g.astype(jnp.float32))
+
+
 def _fwd(emb, w, lens, ngram, interpret):
     return _forward(emb, w, lens, ngram, interpret), (emb, w, lens)
 
 
 def _bwd(ngram, interpret, res, g):
-    from mgnns_tpu.nn.text_gcn import window_max_aggregate
+    import os
 
     emb, w, lens = res
-    _, vjp = jax.vjp(lambda e, ww: window_max_aggregate(e, ww, lens, ngram), emb, w)
-    d_emb, d_w = vjp(g)
+    if os.environ.get("MGNNS_PALLAS_XLA_BWD") == "1":
+        from mgnns_tpu.nn.text_gcn import window_max_aggregate
+
+        _, vjp = jax.vjp(lambda e, ww: window_max_aggregate(e, ww, lens, ngram), emb, w)
+        d_emb, d_w = vjp(g)
+    else:
+        d_emb, d_w = _backward(emb, w, lens, g, ngram, interpret)
+        d_emb = d_emb.astype(emb.dtype)
+        d_w = d_w.astype(w.dtype)
     zero_lens = np.zeros(lens.shape, jax_dtypes.float0)
     return d_emb, d_w, zero_lens
 

@@ -196,10 +196,12 @@ def _image_channel(
     bn_train = train and cfg.bn_mode == "batch" and not cfg.freeze_trunks
 
     def trunk_fn(tp, ts, img):
-        return resnet.resnet_apply(tp, ts, img, depth=depth, train=bn_train,
-                                   dtype=dtype, unroll=cfg.unroll_trunks)
+        return resnet.resnet_apply(
+            tp, ts, img, depth=depth, train=bn_train, dtype=dtype,
+            unroll=cfg.unroll_trunks,
+            block_remat=cfg.remat_policy == "block")
 
-    if cfg.remat_trunks:
+    if cfg.remat_trunks or cfg.remat_policy == "trunk":
         # rematerialize trunk activations in the backward pass (HBM for FLOPs)
         trunk_fn = jax.checkpoint(trunk_fn)
     feats, new_state = trunk_fn(trunk_params, trunk_state, image)

@@ -201,6 +201,7 @@ def resnet_apply(
     train: bool = False,
     dtype=None,
     unroll: bool = False,
+    block_remat: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """x: [B, H, W, 3] normalized images.  Returns ([B, H/32, W/32, 2048],
     new_batch_stats).
@@ -209,8 +210,20 @@ def resnet_apply(
     over static block slices: same numerics (the blocks are identical
     programs either way), slower compile, ~19% faster ResNet-101 backward
     (XLA schedules each block's dgrad/wgrad individually instead of through
-    the scan's stacked-carry machinery)."""
+    the scan's stacked-carry machinery).
+
+    ``block_remat=True`` wraps each bottleneck block in ``jax.checkpoint``:
+    only block-boundary activations stay resident across the backward and
+    each block's interior is recomputed one block at a time — per-block
+    peak memory instead of whole-trunk, without 'trunk'-remat's full second
+    forward before the backward can start."""
     layers = RESNET_LAYERS[depth]
+    block = _bottleneck_apply
+    if block_remat:
+        def block(p, s, x, stride, *, train, dtype):
+            fn = lambda p_, s_, x_: _bottleneck_apply(
+                p_, s_, x_, stride, train=train, dtype=dtype)
+            return jax.checkpoint(fn)(p, s, x)
     ns: dict = {}
     out = conv_apply(params["conv1"], x, 2, ((3, 3), (3, 3)), dtype)
     out, ns["bn1"] = bn_apply(params["bn1"], state["bn1"], out, train=train)
@@ -219,8 +232,8 @@ def resnet_apply(
     for li in range(1, len(layers) + 1):
         lp, ls = params[f"layer{li}"], state[f"layer{li}"]
         stride = 1 if li == 1 else 2
-        out, ns_first = _bottleneck_apply(lp["first"], ls["first"], out, stride,
-                                          train=train, dtype=dtype)
+        out, ns_first = block(lp["first"], ls["first"], out, stride,
+                              train=train, dtype=dtype)
         ns_layer = {"first": ns_first}
         if "rest" in lp:
             if unroll:
@@ -229,13 +242,13 @@ def resnet_apply(
                 for b in range(n):
                     pb = jax.tree_util.tree_map(lambda a: a[b], lp["rest"])
                     sb = jax.tree_util.tree_map(lambda a: a[b], ls["rest"])
-                    out, nsb = _bottleneck_apply(pb, sb, out, 1, train=train, dtype=dtype)
+                    out, nsb = block(pb, sb, out, 1, train=train, dtype=dtype)
                     ns_rest.append(nsb)
                 ns_layer["rest"] = _stack_trees(ns_rest)
             else:
                 def body(x_carry, ps):
                     pb, sb = ps
-                    y, nsb = _bottleneck_apply(pb, sb, x_carry, 1, train=train, dtype=dtype)
+                    y, nsb = block(pb, sb, x_carry, 1, train=train, dtype=dtype)
                     return y, nsb
 
                 out, ns_layer["rest"] = jax.lax.scan(body, out, (lp["rest"], ls["rest"]))

@@ -106,12 +106,29 @@ def unique_word_readout(
     B, L, D = per_pos_max.shape
     pos = jnp.arange(L)
     valid = pos[None, :] < lens[:, None]
-    eq = (ids[:, :, None] == ids[:, None, :]) & valid[:, :, None] & valid[:, None, :]
-    # first position j with the same word as position k (argmax = first True)
-    canon = jnp.argmax(eq, axis=-1)                   # [B, L]
+    # Canonical slot = the word's FIRST occurrence, found in O(L log L) via a
+    # stable per-row sort (invalid positions sort last behind a sentinel)
+    # instead of an O(L^2) id-equality cube — so raising max_len for larger
+    # corpora scales near-linearly.
+    sentinel = jnp.iinfo(jnp.int32).max
+    key_ids = jnp.where(valid, ids.astype(jnp.int32), sentinel)
+    sidx = jnp.argsort(key_ids, axis=1, stable=True)          # [B, L]
+    sorted_ids = jnp.take_along_axis(key_ids, sidx, axis=1)
+    head = jnp.concatenate(
+        [jnp.ones((B, 1), bool), sorted_ids[:, 1:] != sorted_ids[:, :-1]], axis=1)
+    # stable sort => within a segment of equal ids the original indices are
+    # increasing, so the segment head carries the first occurrence; fill it
+    # forward with a last-flagged-value-wins associative scan
+    def fill(a, b):
+        (va, fa), (vb, fb) = a, b
+        return jnp.where(fb, vb, va), fa | fb
+
+    canon_sorted, _ = jax.lax.associative_scan(
+        fill, (jnp.where(head, sidx, 0), head), axis=1)
+    b_idx = jnp.arange(B)[:, None]
+    canon = jnp.zeros((B, L), jnp.int32).at[b_idx, sidx].set(canon_sorted)
     canon = jnp.where(valid, canon, L)                # dummy slot for padding
     out = jnp.full((B, L + 1, D), NEG_INF, per_pos_max.dtype)
-    b_idx = jnp.arange(B)[:, None]
     out = out.at[b_idx, canon].max(per_pos_max)
     out = out[:, :L, :]
     return jnp.where(jnp.isfinite(out), out, 0.0).sum(axis=1)

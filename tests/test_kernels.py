@@ -73,3 +73,29 @@ def test_text_gcn_apply_pallas_path(rng):
     b_ = text_gcn.text_gcn_apply(params, jnp.asarray(ids), jnp.asarray(lens),
                                  jnp.asarray(eids), ngram=ngram, use_pallas=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+
+def test_pallas_backward_tie_semantics(rng):
+    """Exact ties across window offsets: jnp.maximum's VJP splits the
+    cotangent 0.5/0.5 down the max chain; the Pallas backward must
+    reproduce that, not winner-takes-all."""
+    B, L, D, ngram = 2, 8, 4, 2
+    W = 2 * ngram + 1
+    # constant embedding + unit weights => every in-window message ties
+    emb = jnp.ones((B, L, D), jnp.float32) * 0.5
+    w = jnp.ones((B, L, W), jnp.float32)
+    lens = jnp.array([8, 5], jnp.int32)
+    valid = (jnp.arange(L)[None, :] < lens[:, None])[:, :, None]
+
+    def mk(fn):
+        def loss(e, ww):
+            m = fn(e, ww)
+            return jnp.sum(jnp.where(valid, m, 0.0) * jnp.arange(1, D + 1))
+        return jax.grad(loss, argnums=(0, 1))
+
+    g_ref = mk(lambda e, ww: window_max_aggregate(e, ww, lens, ngram))(emb, w)
+    g_pl = mk(lambda e, ww: window_max_aggregate_pallas(e, ww, lens, ngram, True))(emb, w)
+    # the tie-split produces fractional (non-binary) gradient mass
+    assert len(np.unique(np.round(np.asarray(g_ref[1]), 6))) > 2
+    np.testing.assert_allclose(np.asarray(g_pl[0]), np.asarray(g_ref[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_pl[1]), np.asarray(g_ref[1]), atol=1e-6)

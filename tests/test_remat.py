@@ -43,3 +43,12 @@ def test_remat_grads_identical():
     g_remat = jax.grad(make_loss(remat))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_base), jax.tree_util.tree_leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # per-block remat (remat_policy='block'): same gradients, and the policy
+    # must compose with both the scan and unrolled block layouts
+    for unroll in (False, True):
+        block = dataclasses.replace(base, remat_policy="block", unroll_trunks=unroll)
+        g_block = jax.grad(make_loss(block))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_base),
+                        jax.tree_util.tree_leaves(g_block)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

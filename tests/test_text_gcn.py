@@ -103,3 +103,28 @@ def test_text_gcn_grads_flow():
     assert np.isfinite(np.asarray(g["node_embedding"])).all()
     assert np.isfinite(np.asarray(g["edge_weight"])).all()
     assert np.abs(np.asarray(g["edge_weight"])).sum() > 0
+
+
+def test_unique_word_readout_long_sequences():
+    """The sort-based readout supports raised max_len (the large-corpus
+    scaling envelope): exact vs a naive per-row oracle at L=512."""
+    import jax.numpy as jnp
+
+    from mgnns_tpu.nn.text_gcn import unique_word_readout
+
+    rng = np.random.default_rng(3)
+    B, L, D, V = 4, 512, 16, 40  # small V => many duplicate words per row
+    ids = rng.integers(1, V, (B, L)).astype(np.int32)
+    lens = np.array([512, 1, 300, 511], np.int32)
+    m = rng.standard_normal((B, L, D)).astype(np.float32)
+    m = np.where((np.arange(L)[None, :, None] < lens[:, None, None]), m, -np.inf)
+
+    got = np.asarray(unique_word_readout(
+        jnp.asarray(m), jnp.asarray(ids), jnp.asarray(lens)))
+
+    want = np.zeros((B, D), np.float32)
+    for b in range(B):
+        for w in np.unique(ids[b, : lens[b]]):
+            pos = np.where(ids[b, : lens[b]] == w)[0]
+            want[b] += m[b, pos].max(axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
