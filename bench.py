@@ -107,6 +107,7 @@ def main():
                       compute_dtype="bfloat16", bn_mode=bn_mode,
                       unroll_trunks=(mode == "train" and
                                      os.environ.get("MGNNS_BENCH_UNROLL", "1") == "1"),
+                      remat_policy=os.environ.get("MGNNS_BENCH_REMAT", "none"),
                       freeze_trunks=os.environ.get("MGNNS_BENCH_FREEZE_TRUNKS") == "1")
     params, bstats, consts = mgnns_init_jitted(
         jax.random.key(0), cfg, num_edges=graph.num_edges,
@@ -174,6 +175,7 @@ def main():
                           "config": {"bn_mode": cfg.bn_mode,
                                      "unroll_trunks": cfg.unroll_trunks,
                                      "freeze_trunks": cfg.freeze_trunks,
+                                     "remat_policy": cfg.remat_policy,
                                      "batch_size": batch_size}}))
         return
 

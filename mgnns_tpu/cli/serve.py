@@ -3,14 +3,17 @@
 The reference has no serving story at all; this closes the deployment loop:
 train with ``cli.main`` -> serve the checkpoint over HTTP.  Endpoints:
 
-- ``GET  /healthz``  -> ``{"status": "ok", "model": ..., "text_only": ...}``
+- ``GET  /healthz``  -> ``{"status": "ok", "model": ..., "text_only": ...,
+  "requests": N, "queue_depth": N, "latency_ms": {"p50", "p99", "max"}}``
 - ``POST /predict``  -> body ``{"records": [{"id": ..., "text": ...,
   "image": ...}, ...]}`` (or a bare list); returns ``{"predictions": [...]}``
   in input order, each with ``label`` and per-class ``probs``.
 
-Single-threaded by design: one TPU program, one queue — requests batch
-internally to the Predictor's fixed ``max_batch`` (static shapes, one
-compiled program).  Put a real load balancer in front for fan-in.
+Concurrency model: a threaded HTTP front accepts requests concurrently; ONE
+worker thread owns the TPU program and coalesces queued requests into
+fixed-shape device batches (:class:`serving.BatchingFrontend`).  The bounded
+request queue gives backpressure — a full queue answers 503 immediately
+rather than letting latency grow unboundedly.
 
 Usage:
     python -m mgnns_tpu.cli.serve --data_root_path data \
@@ -21,7 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -39,13 +42,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoint (.pth[.tar]) instead of the Orbax state "
                         "in --checkpoint (fusion model only)")
     p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--max_queue", type=int, default=256,
+                   help="request-queue bound; a full queue answers 503 "
+                        "(backpressure) instead of growing latency")
+    p.add_argument("--request_timeout", type=float, default=60.0,
+                   help="seconds a request may wait for its batch slot")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--platform", type=str, default=None)
     return p
 
 
-def make_handler(predictor, model_name: str):
+def make_handler(frontend, model_name: str, text_only: bool,
+                 request_timeout: float):
+    from mgnns_tpu.serving import BatchingFrontend
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
@@ -58,7 +69,7 @@ def make_handler(predictor, model_name: str):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok", "model": model_name,
-                                 "text_only": predictor.text_only})
+                                 "text_only": text_only, **frontend.stats()})
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -73,10 +84,14 @@ def make_handler(predictor, model_name: str):
                 if not isinstance(records, list) or not records:
                     self._send(400, {"error": "body must be {'records': [...]} or a list"})
                     return
-                out = predictor.predict(records)
+                out = frontend.submit(records, timeout=request_timeout)
                 self._send(200, {"predictions": out})
             except json.JSONDecodeError as e:
                 self._send(400, {"error": f"bad json: {e}"})
+            except BatchingFrontend.Busy as e:
+                self._send(503, {"error": str(e)})
+            except TimeoutError as e:
+                self._send(504, {"error": str(e)})
             except Exception as e:  # surface, don't kill the server
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -86,9 +101,9 @@ def make_handler(predictor, model_name: str):
     return Handler
 
 
-def make_server(args) -> HTTPServer:
-    """Build the HTTPServer (separated from main() so tests can drive it)."""
-    from mgnns_tpu.serving import Predictor
+def make_server(args) -> ThreadingHTTPServer:
+    """Build the HTTP server (separated from main() so tests can drive it)."""
+    from mgnns_tpu.serving import BatchingFrontend, Predictor
 
     predictor = Predictor.from_engine_artifacts(
         args.data_root_path, args.checkpoint, text_only=args.text_only,
@@ -98,8 +113,12 @@ def make_server(args) -> HTTPServer:
     )
     # warm the compiled program so the first request isn't a compile
     predictor.predict([{"text": "warmup"}])
-    return HTTPServer((args.host, args.port),
-                      make_handler(predictor, args.checkpoint))
+    frontend = BatchingFrontend(predictor, max_queue=args.max_queue)
+    handler = make_handler(frontend, args.checkpoint, predictor.text_only,
+                           args.request_timeout)
+    server = ThreadingHTTPServer((args.host, args.port), handler)
+    server.daemon_threads = True
+    return server
 
 
 def main(argv=None) -> None:

@@ -259,6 +259,101 @@ class Predictor:
         )
 
 
+class BatchingFrontend:
+    """Bounded-queue micro-batching around a :class:`Predictor`.
+
+    One worker thread owns the TPU program; concurrent client requests
+    enqueue and are coalesced (up to the Predictor's ``max_batch`` records)
+    into single fixed-shape forward passes.  The queue bound provides
+    backpressure — a full queue rejects immediately (HTTP 503 upstream)
+    instead of letting latency grow without limit.  Request latencies are
+    kept in a ring buffer for p50/p99 reporting (``stats``).
+    """
+
+    def __init__(self, predictor: Predictor, max_queue: int = 256):
+        import collections
+        import queue
+        import threading
+
+        self.predictor = predictor
+        self.max_queue = max_queue
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._latencies = collections.deque(maxlen=1024)
+        self._count = 0
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    class Busy(RuntimeError):
+        pass
+
+    def submit(self, records: list[dict], timeout: float = 60.0) -> list[dict]:
+        import queue
+        import threading
+        import time
+
+        done = threading.Event()
+        slot: dict = {}
+        t0 = time.perf_counter()
+        try:
+            self._q.put((records, slot, done), block=False)
+        except queue.Full:
+            raise self.Busy(f"request queue full ({self.max_queue})")
+        if not done.wait(timeout):
+            slot["abandoned"] = True  # worker will drop the result
+            raise TimeoutError(f"prediction not ready within {timeout}s")
+        with self._lock:
+            self._latencies.append(time.perf_counter() - t0)
+            self._count += 1
+        if "error" in slot:
+            raise slot["error"]
+        return slot["out"]
+
+    def _loop(self) -> None:
+        import queue
+
+        while True:
+            first = self._q.get()
+            group = [first]
+            n = len(first[0])
+            # coalesce whatever is already waiting, up to one device batch
+            while n < self.predictor.max_batch:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                group.append(nxt)
+                n += len(nxt[0])
+            all_records = [r for recs, _, _ in group for r in recs]
+            try:
+                outs = self.predictor.predict(all_records)
+                i = 0
+                for recs, slot, done in group:
+                    slot["out"] = outs[i : i + len(recs)]
+                    i += len(recs)
+                    done.set()
+            except Exception as e:  # deliver the failure to every waiter
+                for _, slot, done in group:
+                    slot["error"] = e
+                    done.set()
+
+    def stats(self) -> dict:
+        import numpy as _np
+
+        with self._lock:
+            lat = list(self._latencies)
+            count = self._count
+        out = {"requests": count, "queue_depth": self._q.qsize()}
+        if lat:
+            ms = _np.array(lat) * 1e3
+            out["latency_ms"] = {
+                "p50": round(float(_np.percentile(ms, 50)), 2),
+                "p99": round(float(_np.percentile(ms, 99)), 2),
+                "max": round(float(ms.max()), 2),
+            }
+        return out
+
+
 PREPROC_NPZ = "preproc.npz"
 PREPROC_JSON = "preproc.json"
 

@@ -148,3 +148,51 @@ def test_http_serve_endpoint(trained_ckpt):
             assert json.loads(r.read())["status"] == "ok"
     finally:
         server.shutdown()
+
+
+def test_http_concurrent_clients_batching(trained_ckpt):
+    """Threaded clients against the batching frontend: all requests answered
+    in order, /healthz reports latency percentiles and request counts."""
+    import threading
+    import urllib.request
+
+    from mgnns_tpu.cli.serve import build_parser, make_server
+
+    args = build_parser().parse_args([
+        "--data_root_path", REF, "--checkpoint", trained_ckpt,
+        "--text_only", "--pmi_phase", "val", "--max_batch", "8", "--port", "0",
+    ])
+    server = make_server(args)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    results: dict = {}
+
+    def client(i):
+        body = json.dumps({"records": [
+            {"id": f"c{i}-0", "text": f"wonderful day number {i}"},
+            {"id": f"c{i}-1", "text": f"terrible day number {i}"},
+        ]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            results[i] = json.loads(r.read())["predictions"]
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 8
+        labels = {"angry", "bored", "calm", "fear", "happy", "love", "sad"}
+        for i, preds in results.items():
+            assert len(preds) == 2
+            assert all(p["label"] in labels for p in preds)
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["requests"] >= 8
+        assert "latency_ms" in health
+        assert health["latency_ms"]["p99"] >= health["latency_ms"]["p50"] > 0
+    finally:
+        server.shutdown()
