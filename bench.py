@@ -8,13 +8,20 @@ Modes (env MGNNS_BENCH_MODE), matching BASELINE.json's config ladder:
   text            — text-channel-only model (Text_GCN configs);
   train           — full-model training step throughput.
 
-What is measured: the complete inference pipeline on real TumEmo val text —
-host batch assembly (text tensors + image decode via the threaded
-DeviceLoader) + jitted full fusion forward (text-GCN + BiLSTM + ResNet-101 +
-Places-ResNet-50 + image GCNs + label attention + 4-way cross-modal fusion)
-at the reference's canonical image size 448, bf16 compute.  Image bytes are
-synthetic (the reference checkout ships no image files) but full-size, so
-decode/normalize/H2D cost is included.
+What is measured (full mode): the jitted full fusion forward (text-GCN +
+BiLSTM + ResNet-101 + Places-ResNet-50 + image GCNs + label attention +
+4-way cross-modal fusion) on real TumEmo val text at the reference's
+canonical image size 448, bf16 compute.  Three numbers:
+  value                        device-cached batches (chip-side ceiling);
+  value_live_pipeline          fresh batch assembly + placement inside the
+                               timed epoch through the BEST input path
+                               (device-resident pixel table, on-device
+                               gather — the --device_images production
+                               config);
+  value_live_per_batch_upload  worst case: full pixels re-shipped per batch
+                               (double-buffered; network H2D on this rig).
+Image bytes are synthetic (the reference checkout ships no image files) but
+full-size, so decode/normalize costs are real where they apply.
 
 Baseline: ``bench_baseline.json`` (reference-CPU torch forward of the two
 ResNet trunks — see tools/calibrate_baseline.py; biased in the baseline's
