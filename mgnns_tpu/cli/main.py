@@ -54,7 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_eval_batches", action="store_true",
                    help="keep val/test batches device-resident after the "
                         "first epoch (static eval sets; ~6 GB HBM for 10k "
-                        "448px uint8 samples)")
+                        "448px uint8 samples).  Bounded by the input-HBM "
+                        "budget left over from --device_images tables: "
+                        "batches past it stream every epoch instead")
     p.add_argument("--no_augmentation", action="store_true",
                    help="use eval transforms (Warp) for the train split too: "
                         "no MultiScaleCrop/flip.  With --device_images and "
@@ -67,10 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "eval transforms or the synthetic backend; ~600 KB "
                         "HBM per 448px sample per split)")
     p.add_argument("--device_images_budget_gb", type=float, default=9.0,
-                   help="HBM budget for --device_images pixel tables; splits "
-                        "are granted tables greedily (train, val, test) and "
-                        "any split past the budget falls back to per-batch "
-                        "upload")
+                   help="HBM budget for input data: --device_images pixel "
+                        "tables (granted greedily: train, val, test; splits "
+                        "past the budget fall back to per-batch upload) and, "
+                        "from what remains, --cache_eval_batches caches")
     p.add_argument("--val_limit", type=int, default=0,
                    help="evaluate only the first N val samples per epoch "
                         "(faster epochs; the final test pass is always full)")
@@ -469,16 +471,16 @@ def main(argv=None) -> dict:
         raise SystemExit(
             "--device_images is incompatible with --mesh_data/--mesh_model "
             "> 1 and --multihost; drop it (per-batch upload shards fine)")
+    input_hbm_budget = args.device_images_budget_gb * 1e9
     if args.device_images:
-        budget = args.device_images_budget_gb * 1e9
         for ds in (train_ds, val_ds, test_ds):
             if id(ds) in _device_images_for:
                 continue
             size = len(ds) * args.image_size * args.image_size * 3
-            grant = size <= budget and ds.cacheable_images()
+            grant = size <= input_hbm_budget and ds.cacheable_images()
             _device_images_for[id(ds)] = grant
             if grant:
-                budget -= size
+                input_hbm_budget -= size
         granted = sum(_device_images_for.values())
         print(f"device_images: {granted}/{len(_device_images_for)} split tables "
               f"within {args.device_images_budget_gb} GB budget")
@@ -504,6 +506,13 @@ def main(argv=None) -> dict:
                 # either way with a device table)
                 cache_device_batches=(args.cache_eval_batches and not shuffle
                                       and (reused or dev_imgs)),
+                # cached eval batches share the input-HBM budget with the
+                # pixel tables: cache what fits, stream the rest (a full
+                # 10k x 448px eval cache next to a train pixel table
+                # otherwise OOMs the chip mid-training).  The remaining
+                # budget is split across the distinct eval splits.
+                cache_budget_bytes=int(input_hbm_budget
+                                       / max(1, len({id(val_ds), id(test_ds)}))),
                 device_images=dev_imgs,
             )
         ld = _loader_cache[key]

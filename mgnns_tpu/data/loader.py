@@ -37,6 +37,7 @@ class DeviceLoader:
         with_images: bool = True,
         device_put=None,
         cache_device_batches: bool = False,
+        cache_budget_bytes: int | None = None,
         device_images: bool = False,
         num_batches: int | None = None,
     ):
@@ -66,7 +67,17 @@ class DeviceLoader:
         if cache_device_batches and shuffle:
             raise ValueError("cache_device_batches requires shuffle=False")
         self.cache_device_batches = cache_device_batches
-        self._device_cache: list | None = None
+        # Bounded cache: stop caching once the stored batches exceed this
+        # many bytes (None = unlimited).  A PARTIAL cache is fine — replay
+        # epochs yield the cached prefix from HBM and stream the tail
+        # through the normal producer path, so a big eval split degrades to
+        # "cache what fits" instead of exhausting HBM mid-training (the
+        # failure mode: a 6 GB pixel table + a 6 GB eval cache on one chip).
+        self.cache_budget_bytes = cache_budget_bytes
+        self._device_cache: list | None = [] if cache_device_batches else None
+        self._cache_bytes = 0
+        self._cache_complete = False
+        self._cache_stopped = False
         # Device-resident images: upload the split's pixels ONCE as one
         # [N, H, W, 3] table and gather each batch on device by index.
         # Per-step host->device image traffic disappears (only tiny text
@@ -134,7 +145,10 @@ class DeviceLoader:
         import queue
         import threading
 
-        if self._device_cache is not None:
+        n_cached = len(self._device_cache) if self._device_cache else 0
+        if n_cached:
+            # replay the cached prefix (full epoch when the cache is
+            # complete; otherwise the tail streams below)
             if self.device_images:
                 # cached batches are stored WITHOUT pixels (they'd duplicate
                 # the device table); re-gather per replay — a cheap on-device
@@ -146,7 +160,8 @@ class DeviceLoader:
                     yield out
             else:
                 yield from self._device_cache
-            return
+            if self._cache_complete:
+                return
 
         order = np.arange(len(self.ds))
         if self.shuffle:
@@ -157,6 +172,9 @@ class DeviceLoader:
                   for i in range(0, len(order), self.batch_size)]
         # forced epoch length: all-padding batches past the data's end
         chunks += [(order[-1:], 0)] * (self.num_batches - len(chunks))
+        # caching requires shuffle=False, so chunk k is identical every
+        # epoch: resume streaming right after the cached prefix
+        chunks = chunks[n_cached:]
 
         q: queue.Queue = queue.Queue(maxsize=3)
         stop = threading.Event()
@@ -194,17 +212,30 @@ class DeviceLoader:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        collected = [] if self.cache_device_batches else None
+
+        def cache_batch(item, dev):
+            # stop caching past the byte budget; the uncached tail streams
+            # every epoch (bounded HBM beats a mid-training OOM).  The stop
+            # is a latch so the cache stays a contiguous chunk prefix.
+            if (not self.cache_device_batches or self._cache_complete
+                    or self._cache_stopped):
+                return
+            nbytes = sum(np.asarray(v).nbytes for v in item.values())
+            if (self.cache_budget_bytes is not None
+                    and self._cache_bytes + nbytes > self.cache_budget_bytes):
+                self._cache_stopped = True
+                return
+            self._cache_bytes += nbytes
+            self._device_cache.append(dev)
 
         def place(item):
             dev = self._device_put(item)
             if self.device_images:
-                if collected is not None:
-                    collected.append(dict(dev))  # pixel-free
+                cache_batch(item, dict(dev))  # pixel-free
                 dev["image"] = jnp.take(
                     self._ensure_image_table(), dev["sample_index"], axis=0)
-            elif collected is not None:
-                collected.append(dev)
+            else:
+                cache_batch(item, dev)
             return dev
 
         # Double buffering: dispatch batch k+1's (async) device placement
@@ -217,8 +248,9 @@ class DeviceLoader:
                 if item is None:
                     if pending is not None:
                         yield pending
-                    if collected is not None:
-                        self._device_cache = collected
+                    if self.cache_device_batches:
+                        self._cache_complete = (
+                            len(self._device_cache) == self.num_batches)
                     return
                 if isinstance(item, BaseException):
                     raise item

@@ -175,3 +175,53 @@ def test_loader_forced_num_batches(small_ds):
     # forcing below the natural count would drop data: rejected
     with pytest.raises(ValueError):
         DeviceLoader(small_ds, batch_size=32, num_batches=2)
+
+
+def test_cached_batches_and_budget(small_ds):
+    """cache_device_batches replays identical batches; a byte budget caps
+    the cache to a contiguous prefix and streams the tail every epoch."""
+    full = DeviceLoader(small_ds, batch_size=32, shuffle=False,
+                        cache_device_batches=True)
+    e1 = [{k: np.asarray(v) for k, v in b.items()} for b in full]
+    assert full._cache_complete and len(full._device_cache) == 3
+    e2 = [{k: np.asarray(v) for k, v in b.items()} for b in full]
+    for a, b in zip(e1, e2):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    # budget for ~1 batch: cache holds a 1-batch prefix, epochs still
+    # yield all 3 batches with identical content
+    one_batch = sum(v.nbytes for v in e1[0].values())
+    part = DeviceLoader(small_ds, batch_size=32, shuffle=False,
+                        cache_device_batches=True,
+                        cache_budget_bytes=one_batch + 1)
+    p1 = [{k: np.asarray(v) for k, v in b.items()} for b in part]
+    assert len(part._device_cache) == 1 and not part._cache_complete
+    assert part._cache_stopped
+    p2 = [{k: np.asarray(v) for k, v in b.items()} for b in part]
+    assert len(p1) == len(p2) == 3
+    for a, b in zip(p1, p2):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    for a, b in zip(e1, p1):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    # the cache did not grow on the replay epoch
+    assert len(part._device_cache) == 1
+
+    # budget 0: nothing cached, still correct
+    none = DeviceLoader(small_ds, batch_size=32, shuffle=False,
+                        cache_device_batches=True, cache_budget_bytes=0)
+    n1 = list(none)
+    assert len(none._device_cache) == 0 and len(n1) == 3
+
+    # partial cache + device_images: pixel-free cache, images re-gathered
+    di = DeviceLoader(small_ds, batch_size=32, shuffle=False,
+                      cache_device_batches=True, device_images=True,
+                      cache_budget_bytes=one_batch + 1)
+    d1 = [{k: np.asarray(v) for k, v in b.items()} for b in di]
+    d2 = [{k: np.asarray(v) for k, v in b.items()} for b in di]
+    for a, b, c in zip(e1, d1, d2):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+            np.testing.assert_array_equal(a[k], c[k])
