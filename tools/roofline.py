@@ -1,0 +1,207 @@
+"""Roofline analysis for the MGNNS fine-tune train step, on real TPU.
+
+Settles VERDICT r2 item 3 ("commit a roofline analysis") with measured — not
+assumed — numbers:
+
+1. **Peak**: sustained bf16 matmul throughput of THIS chip, measured with a
+   chained 8192^3 matmul loop (data-dependent, so nothing dead-code
+   eliminates; scalar readback forces completion over the tunnel).
+2. **FLOP counts**: taken from XLA's own ``compiled.cost_analysis()['flops']``
+   for the exact programs we time — no hand-counted MAC conventions.
+3. **Achieved**: slope-timed eval forward, full fine-tune train step, and
+   isolated trunk-gradient programs; each reported as TFLOP/s and % of the
+   measured peak (= MFU against this chip, not a datasheet).
+
+Run ON TPU (the default platform):  python tools/roofline.py
+Prints a markdown table for docs/PERFORMANCE.md plus one JSON line, and
+writes results/r3/roofline.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def timed(fn, args, iters, readback):
+    """Slope timing: run iters chained calls, force completion via readback."""
+    out = fn(*args)
+    readback(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    readback(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def flops_of(jitted, *args):
+    """XLA's own FLOP count for the compiled program, or None if the
+    backend doesn't expose cost analysis."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:  # noqa: BLE001 — diagnostic tool, keep going
+        print(f"  (cost_analysis unavailable: {type(e).__name__}: {e})")
+        return None
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mgnns_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    results = {}
+
+    # --- 1. measured peak: chained bf16 matmul ---------------------------
+    n, chain = 8192, 8
+    scale = jnp.bfloat16(1.0 / np.sqrt(n))
+    A = (jax.random.normal(jax.random.key(0), (n, n), jnp.bfloat16) * scale)
+    x0 = jax.random.normal(jax.random.key(1), (n, n), jnp.bfloat16)
+
+    @jax.jit
+    def peak_fn(x, a):
+        def body(_, acc):
+            return jnp.dot(acc, a, preferred_element_type=jnp.bfloat16)
+        return jax.lax.fori_loop(0, chain, body, x)
+
+    dt = timed(peak_fn, (x0, A), iters=8,
+               readback=lambda o: float(o[0, 0].astype(jnp.float32)))
+    peak_tflops = chain * 2 * n**3 / dt / 1e12
+    results["peak_bf16_matmul_tflops"] = round(peak_tflops, 1)
+
+    # --- 2. model programs at flagship config ----------------------------
+    from mgnns_tpu.config import DataConfig, ModelConfig, TextGraphConfig
+    from mgnns_tpu.data.dataset import TumblrDataset, load_constants
+    from mgnns_tpu.data.loader import DeviceLoader
+    from mgnns_tpu.data.text import build_text_side, read_anno
+    from mgnns_tpu.engine import metrics as M
+    from mgnns_tpu.engine.train import Engine
+    from mgnns_tpu.models import mgnns_apply
+    from mgnns_tpu.models.mgnns import mgnns_init_jitted
+
+    ref = os.environ.get("MGNNS_DATA", "/root/reference/data")
+    B = int(os.environ.get("MGNNS_BENCH_BATCH", "32"))
+    graph_cfg = TextGraphConfig()
+    data_cfg = DataConfig(
+        data_root_path=ref,
+        object_inp_name=f"{ref}/glove/object_glove_word2vec.pkl",
+        place_inp_name=f"{ref}/glove/place_glove_word2vec.pkl",
+        label_glove_name=f"{ref}/tumblr_label_glove.pkl",
+        object_adj_file=f"{ref}/adj/tumblr_objects_adj.pkl",
+        place_adj_file=f"{ref}/adj/tumblr_resnet50_places_adj.pkl",
+        image_backend="synthetic",
+    )
+    vocab, graph, _ = build_text_side(ref, graph_cfg, [], pmi_phase="val")
+    records = read_anno(ref, "val")[:B * 2]
+    ds = TumblrDataset(data_cfg, graph_cfg, "val", vocab, graph,
+                       image_size=448, records=records)
+    consts_np = load_constants(data_cfg, object_t=0.4, place_t=0.3)
+    cfg = ModelConfig(vocab_size=len(vocab), edges_num=graph.num_edges,
+                      compute_dtype="bfloat16", bn_mode="frozen",
+                      unroll_trunks=True, remat_policy="none")
+    params, bstats, consts = mgnns_init_jitted(
+        jax.random.key(0), cfg, num_edges=graph.num_edges,
+        label_embedding=consts_np["label_embedding"],
+        object_A=consts_np["object_A"], place_A=consts_np["place_A"])
+    object_inp = jax.device_put(consts_np["object_inp"])
+    place_inp = jax.device_put(consts_np["place_inp"])
+    batch = next(iter(DeviceLoader(ds, B, shuffle=False, num_threads=8)))
+
+    def apply_fn(p, bs, b, *, train, rng):
+        full = dict(b)
+        full["object_inp"] = object_inp
+        full["place_inp"] = place_inp
+        logits, new_bs, _ = mgnns_apply(p, bs, consts, full, cfg=cfg,
+                                        train=train, rng=rng, use_pallas=True)
+        return logits, new_bs
+
+    rows = []
+
+    # eval forward
+    @jax.jit
+    def eval_step(p, bs, b):
+        bb = {k: b[k] for k in ("ids", "lens", "mask", "eids", "image")}
+        logits, _ = apply_fn(p, bs, bb, train=False, rng=None)
+        return jnp.argmax(logits, axis=-1)
+
+    f = flops_of(eval_step, params, bstats, batch)
+    dt = timed(eval_step, (params, bstats, batch), iters=20,
+               readback=lambda o: np.asarray(o[:1]))
+    rows.append(("eval forward (B=%d)" % B, f, dt))
+
+    # full fine-tune train step: the Engine's real jitted step.  It donates
+    # (state, cm); re-feeding the returned state each call both satisfies the
+    # donation and gives the chained dependency slope timing wants.
+    eng = Engine(apply_fn, params, bstats, num_classes=7, steps_per_epoch=1)
+    out = eng._train_step(eng.state, batch, M.confusion_init(7))
+    f_train = flops_of(eng._train_step, out[0], batch, M.confusion_init(7))
+    state = out[0]
+    float(jax.tree_util.tree_leaves(state.params)[0].astype("float32").sum())
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        state, loss, cm = eng._train_step(state, batch, M.confusion_init(7))
+    float(jax.tree_util.tree_leaves(state.params)[0].astype("float32").sum())
+    dt_train = (time.perf_counter() - t0) / iters
+    rows.append(("fine-tune train step (B=%d)" % B, f_train, dt_train))
+
+    # isolated trunk gradient programs
+    from mgnns_tpu.nn.resnet import resnet_apply, resnet_init
+
+    img = batch["image"]
+    x = (jnp.asarray(img, jnp.bfloat16) / 255.0 if img.dtype == jnp.uint8
+         else jnp.asarray(img, jnp.bfloat16))
+    for depth, name in ((101, "resnet101 grad"), (50, "resnet50 grad")):
+        tp, ts = resnet_init(jax.random.key(depth), depth=depth)
+
+        @jax.jit
+        def trunk_grad(p, xx, s=ts, d=depth):
+            def loss(pp):
+                # train=False = frozen BN (running stats), matching the
+                # fine-tune config's backward
+                feats, _ = resnet_apply(pp, s, xx, depth=d, train=False,
+                                        dtype=jnp.bfloat16, unroll=True)
+                return jnp.sum(feats.astype(jnp.float32) ** 2)
+            return jax.grad(loss)(p)
+
+        f_t = flops_of(trunk_grad, tp, x)
+        dt_t = timed(trunk_grad, (tp, x), iters=10,
+                     readback=lambda o: float(jax.tree_util.tree_leaves(o)[0]
+                                              .astype(jnp.float32).sum()))
+        rows.append((f"{name} (B={B})", f_t, dt_t))
+
+    print(f"measured peak (chained bf16 {n}^3 matmul): {peak_tflops:.1f} TFLOP/s")
+    print("| program | XLA FLOPs/call | time | TFLOP/s | % of measured peak |")
+    print("|---|---|---|---|---|")
+    for name, f, dt in rows:
+        key = name.split(" (")[0].replace(" ", "_").replace("-", "_")
+        if f is None:
+            print(f"| {name} | n/a | {dt*1e3:.1f} ms | n/a | n/a |")
+            results[key] = {"flops": None, "seconds": round(dt, 5)}
+            continue
+        tf = f / dt / 1e12
+        print(f"| {name} | {f/1e12:.2f} T | {dt*1e3:.1f} ms | {tf:.1f} | "
+              f"{100*tf/peak_tflops:.0f}% |")
+        results[key] = {"flops": f, "seconds": round(dt, 5),
+                        "tflops": round(tf, 1),
+                        "pct_of_peak": round(100 * tf / peak_tflops, 1)}
+    results["batch"] = B
+    results["backend"] = jax.default_backend()
+    out_path = os.path.join(ROOT, "results", "r3", "roofline.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
