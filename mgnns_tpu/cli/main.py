@@ -68,11 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-step image H2D (requires deterministic pixels: "
                         "eval transforms or the synthetic backend; ~600 KB "
                         "HBM per 448px sample per split)")
-    p.add_argument("--device_images_budget_gb", type=float, default=9.0,
+    p.add_argument("--device_images_budget_gb", type=float, default=7.0,
                    help="HBM budget for input data: --device_images pixel "
                         "tables (granted greedily: train, val, test; splits "
                         "past the budget fall back to per-batch upload) and, "
-                        "from what remains, --cache_eval_batches caches")
+                        "from what remains, --cache_eval_batches caches. "
+                        "Default leaves >=8 GB of a 16 GB v5e for step "
+                        "workspace: 9.0 (a 6 GB train table + ~3 GB of eval "
+                        "caches) fragments the heap enough that the epoch-1 "
+                        "train step OOMs after the caches fill during epoch 0")
     p.add_argument("--val_limit", type=int, default=0,
                    help="evaluate only the first N val samples per epoch "
                         "(faster epochs; the final test pass is always full)")

@@ -175,14 +175,23 @@ class Engine:
         losses = []
         t0 = time.time()
         n = 0
+        t_steady, n_steady = None, 0
         for i, batch in enumerate(loader):
             self.state, loss, cm = self._train_step(self.state, batch, cm)
             losses.append(loss)  # device scalars; forced once at epoch end
             n += int(np.asarray(batch["weight"]).sum())
+            if i == 0:
+                # steady-state clock starts after step 1 completes: the
+                # first step absorbs one-time costs (jit compile, device
+                # pixel-table build/upload) that would otherwise make
+                # epoch-0 samples/s unrepresentative of the run
+                jax.block_until_ready(loss)
+                t_steady, n_steady = time.time(), n
             if log_every and (i + 1) % log_every == 0:
                 print(f"  [train {i+1}] loss={float(losses[-1]):.4f}")
         jax.block_until_ready(self.state.params)
-        dt = time.time() - t0
+        t_end = time.time()
+        dt = t_end - t0
         out = M.metrics_from_confusion(cm)
         loss_values = [float(l) for l in losses]
         finite = [l for l in loss_values if np.isfinite(l)]
@@ -191,6 +200,8 @@ class Engine:
         if out["skipped_steps"]:
             print(f"  [nan-guard] skipped {out['skipped_steps']} non-finite update(s)")
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
+        if t_steady is not None and n > n_steady and t_end > t_steady:
+            out["steady_samples_per_sec"] = (n - n_steady) / (t_end - t_steady)
         out["epoch_seconds"] = dt
         return out
 
@@ -199,11 +210,15 @@ class Engine:
         losses, wsums, all_preds, all_ids, all_tgts = [], [], [], [], []
         t0 = time.time()
         n = 0
+        t_steady, n_steady = None, 0
         for batch in loader:
             loss, preds, cm = self._eval_step(self.state.params, self.state.batch_stats, batch, cm)
             losses.append(loss)
             wsums.append(float(np.asarray(batch["weight"]).sum()))
             n += int(wsums[-1])
+            if t_steady is None:
+                jax.block_until_ready(loss)  # see train_epoch: compile boundary
+                t_steady, n_steady = time.time(), n
             if collect_preds:
                 w = np.asarray(batch["weight"]).astype(bool)
                 all_preds.append(np.asarray(preds)[w])
@@ -221,6 +236,8 @@ class Engine:
         else:
             out["loss"] = 0.0
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
+        if t_steady is not None and n > n_steady and dt + t0 > t_steady:
+            out["steady_samples_per_sec"] = (n - n_steady) / (dt + t0 - t_steady)
         out["confusion"] = np.asarray(cm)
         if collect_preds:
             out["preds"] = np.concatenate(all_preds) if all_preds else np.zeros(0, np.int32)
@@ -261,9 +278,12 @@ class Engine:
                 tr = self.train_epoch(train_loader_fn(), log_every=log_every)
             va = self.eval_epoch(val_loader_fn())
             va.pop("confusion", None)
+            steady = tr.get("steady_samples_per_sec")
+            rate = (f"{tr['samples_per_sec']:.1f} samples/s"
+                    + (f", {steady:.1f} steady" if steady is not None else ""))
             print(
                 f"epoch {epoch}: train loss {tr['loss']:.4f} acc {tr['accuracy']:.4f} "
-                f"({tr['samples_per_sec']:.1f} samples/s) | val loss {va['loss']:.4f} "
+                f"({rate}) | val loss {va['loss']:.4f} "
                 f"acc {va['accuracy']:.4f} macroF1 {va['macro_f1']:.4f}"
             )
             history.append({"epoch": epoch, "train": tr, "val": va})
@@ -294,7 +314,8 @@ class Engine:
         import json
 
         keep = ("loss", "accuracy", "micro_f1", "macro_f1", "weighted_f1",
-                "samples_per_sec", "epoch_seconds", "skipped_steps")
+                "samples_per_sec", "steady_samples_per_sec", "epoch_seconds",
+                "skipped_steps")
         row = {
             "ts": time.time(),
             "epoch": epoch,

@@ -167,6 +167,10 @@ def test_engine_overfits_toy_corpus():
     assert ev["accuracy"] == 1.0
     assert len(ev["preds"]) == 6
     np.testing.assert_array_equal(ev["sample_index"], np.arange(6))
+    # steady-state throughput (post-compile) is reported alongside the
+    # epoch average whenever the epoch has >1 batch
+    assert last["steady_samples_per_sec"] > 0
+    assert ev["steady_samples_per_sec"] > 0
 
 
 def test_engine_checkpoint_roundtrip(tmp_path):
