@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-step image H2D (requires deterministic pixels: "
                         "eval transforms or the synthetic backend; ~600 KB "
                         "HBM per 448px sample per split)")
+    p.add_argument("--device_text", action="store_true",
+                   help="upload each split's text tensors (ids/lens/mask/"
+                        "edge-ids) ONCE as device tables and gather batches "
+                        "on device by index — per-step H2D shrinks to a [B] "
+                        "index vector (~4 KB/sample HBM; valid for shuffled "
+                        "training, single-device placement only)")
     p.add_argument("--device_images_budget_gb", type=float, default=7.0,
                    help="HBM budget for input data: --device_images pixel "
                         "tables (granted greedily: train, val, test; splits "
@@ -468,13 +474,15 @@ def main(argv=None) -> dict:
     # it reships every epoch otherwise; splits past the budget use the
     # per-batch upload path).
     _device_images_for: dict = {}
-    if args.device_images and (mesh is not None or multihost_active):
-        # the pixel table is committed to the default device; a mesh batch's
+    if (args.device_images or args.device_text) and (mesh is not None
+                                                     or multihost_active):
+        # the tables are committed to the default device; a mesh batch's
         # sample_index is a NamedSharding array (and multihost indices are
         # host-local), so the eager on-device gather cannot work as-is
         raise SystemExit(
-            "--device_images is incompatible with --mesh_data/--mesh_model "
-            "> 1 and --multihost; drop it (per-batch upload shards fine)")
+            "--device_images/--device_text are incompatible with "
+            "--mesh_data/--mesh_model > 1 and --multihost; drop them "
+            "(per-batch upload shards fine)")
     input_hbm_budget = args.device_images_budget_gb * 1e9
     if args.device_images:
         for ds in (train_ds, val_ds, test_ds):
@@ -518,6 +526,7 @@ def main(argv=None) -> dict:
                 cache_budget_bytes=int(input_hbm_budget
                                        / max(1, len({id(val_ds), id(test_ds)}))),
                 device_images=dev_imgs,
+                device_text=args.device_text,
             )
         ld = _loader_cache[key]
         return lambda: ld

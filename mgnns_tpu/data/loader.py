@@ -9,7 +9,13 @@ workers (``engine/...:329-342``).  Design:
 - every batch has the same static shape: the final ragged batch is padded
   and masked via ``weight`` (so jit compiles exactly one program);
 - batches are placed on device asynchronously (``jax.device_put``) one step
-  ahead of consumption (double buffering).
+  ahead of consumption (double buffering);
+- optionally the whole split lives in HBM: ``device_images`` /
+  ``device_text`` upload the pixel / text arrays once as [N, ...] tables
+  and gather each batch on device by sample index, so per-step H2D shrinks
+  to a [B] index vector;
+- with default placement, per-batch [B] vectors (weight/label/sample_index)
+  stay host numpy so epoch accounting never blocks on a device readback.
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ class DeviceLoader:
         cache_device_batches: bool = False,
         cache_budget_bytes: int | None = None,
         device_images: bool = False,
+        device_text: bool = False,
         num_batches: int | None = None,
     ):
         self.ds = dataset
@@ -91,6 +98,28 @@ class DeviceLoader:
                 "(eval transforms or the synthetic backend)")
         self.device_images = device_images and with_images
         self._image_table = None
+        # Device-resident TEXT tables: the split's ids/lens/mask/eids are
+        # static, so they can live in HBM as [N, ...] tables too (a few
+        # KB/sample) and be gathered per batch by sample index on device.
+        # With device_images as well, a live batch ships only the [B] index
+        # + tiny host-side vectors.  Unlike device_images this is valid for
+        # SHUFFLED training (text tensors are always deterministic); it
+        # requires default device placement (the tables are committed to the
+        # default device, so mesh-sharded / multihost batches can't gather
+        # from them).
+        if device_text and device_put is not None:
+            raise ValueError(
+                "device_text requires default device placement "
+                "(incompatible with sharded/multihost device_put hooks)")
+        self.device_text = device_text
+        self._text_tables = None
+        # With default placement, per-batch [B]-sized vectors (weight,
+        # label, sample_index) stay host numpy in the yielded dict: jitted
+        # steps upload them per call (~1 KB), and host-side consumers
+        # (epoch sample counters, prediction collection) read them for free
+        # instead of paying a blocking device readback every step.
+        self._host_small = device_put is None
+        self._HOST_KEYS = ("weight", "label", "sample_index")
 
     def __len__(self) -> int:
         return self.num_batches
@@ -101,16 +130,17 @@ class DeviceLoader:
         n = len(idx) if n_valid is None else n_valid
         pad = B - len(idx)
         full_idx = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
-        t = self.ds.text
         batch = {
-            "ids": t.ids[full_idx],
-            "lens": t.lens[full_idx],
-            "mask": t.mask[full_idx],
-            "eids": t.eids[full_idx],
             "label": self.ds.labels[full_idx],
             "weight": (np.arange(B) < n).astype(np.float32),
             "sample_index": full_idx.astype(np.int32),
         }
+        if not self.device_text:
+            t = self.ds.text
+            batch["ids"] = t.ids[full_idx]
+            batch["lens"] = t.lens[full_idx]
+            batch["mask"] = t.mask[full_idx]
+            batch["eids"] = t.eids[full_idx]
         if self.with_images and not self.device_images:
             seeds = [random.Random(rng.getrandbits(32)) for _ in full_idx]
             if pool is not None:
@@ -138,6 +168,33 @@ class DeviceLoader:
             self._image_table = table
         return self._image_table
 
+    def _ensure_text_tables(self):
+        """Upload the split's text tensors once as device tables, shared
+        across loaders over the same dataset (like the pixel table)."""
+        if self._text_tables is None:
+            tabs = getattr(self.ds, "_device_text_tables", None)
+            if tabs is None:
+                t = self.ds.text
+                tabs = {"ids": jax.device_put(t.ids),
+                        "lens": jax.device_put(t.lens),
+                        "mask": jax.device_put(t.mask),
+                        "eids": jax.device_put(t.eids)}
+                self.ds._device_text_tables = tabs
+            self._text_tables = tabs
+        return self._text_tables
+
+    def _gather_tables(self, out: dict) -> dict:
+        """On-device gather of table-resident tensors for one batch (used at
+        placement time and when replaying table-free cached batches)."""
+        idx = jnp.asarray(out["sample_index"])
+        if self.device_text:
+            tabs = self._ensure_text_tables()
+            for k in ("ids", "lens", "mask", "eids"):
+                out[k] = jnp.take(tabs[k], idx, axis=0)
+        if self.device_images:
+            out["image"] = jnp.take(self._ensure_image_table(), idx, axis=0)
+        return out
+
     def __iter__(self) -> Iterator[dict]:
         """Producer-thread iteration: batch assembly + H2D placement run on a
         background thread feeding a bounded queue, fully overlapping host
@@ -149,15 +206,12 @@ class DeviceLoader:
         if n_cached:
             # replay the cached prefix (full epoch when the cache is
             # complete; otherwise the tail streams below)
-            if self.device_images:
-                # cached batches are stored WITHOUT pixels (they'd duplicate
-                # the device table); re-gather per replay — a cheap on-device
-                # index into the resident table
-                table = self._ensure_image_table()
+            if self.device_images or self.device_text:
+                # cached batches are stored WITHOUT table-resident tensors
+                # (they'd duplicate the device tables); re-gather per replay
+                # — a cheap on-device index into the resident tables
                 for dev in self._device_cache:
-                    out = dict(dev)
-                    out["image"] = jnp.take(table, dev["sample_index"], axis=0)
-                    yield out
+                    yield self._gather_tables(dict(dev))
             else:
                 yield from self._device_cache
             if self._cache_complete:
@@ -229,11 +283,16 @@ class DeviceLoader:
             self._device_cache.append(dev)
 
         def place(item):
-            dev = self._device_put(item)
-            if self.device_images:
-                cache_batch(item, dict(dev))  # pixel-free
-                dev["image"] = jnp.take(
-                    self._ensure_image_table(), dev["sample_index"], axis=0)
+            if self._host_small:
+                host = {k: item[k] for k in self._HOST_KEYS if k in item}
+                to_place = {k: v for k, v in item.items() if k not in host}
+            else:
+                host, to_place = {}, item
+            dev = dict(self._device_put(to_place)) if to_place else {}
+            dev.update(host)
+            if self.device_images or self.device_text:
+                cache_batch(item, dict(dev))  # table-free
+                dev = self._gather_tables(dev)
             else:
                 cache_batch(item, dev)
             return dev

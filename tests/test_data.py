@@ -225,3 +225,74 @@ def test_cached_batches_and_budget(small_ds):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
             np.testing.assert_array_equal(a[k], c[k])
+
+
+def test_device_text_matches_host_path(small_ds):
+    """device_text=True (text tensors gathered on device from resident
+    tables) must yield value-identical batches to the host-assembly path —
+    including under shuffling, where table mode is valid because text
+    tensors are deterministic per sample."""
+    for shuffle in (False, True):
+        ref_loader = DeviceLoader(small_ds, batch_size=32, shuffle=shuffle,
+                                  seed=3, with_images=False)
+        dt_loader = DeviceLoader(small_ds, batch_size=32, shuffle=shuffle,
+                                 seed=3, with_images=False, device_text=True)
+        n = 0
+        for a, b in zip(ref_loader, dt_loader):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+            n += 1
+        assert n == 3
+    # the text tables exist and are shared via the dataset
+    assert dt_loader._text_tables is not None
+    assert dt_loader._text_tables["ids"].shape[0] == len(small_ds)
+    another = DeviceLoader(small_ds, batch_size=16, with_images=False,
+                           device_text=True)
+    next(iter(another))
+    assert another._text_tables is dt_loader._text_tables
+
+
+def test_device_text_with_device_images_and_cache(small_ds):
+    """Full table mode (text + pixels) + cached batches: cached entries are
+    table-free (tiny), and replays re-gather to identical values."""
+    ref = DeviceLoader(small_ds, batch_size=32, shuffle=False)
+    expect = [{k: np.asarray(v) for k, v in b.items()} for b in ref]
+    full = DeviceLoader(small_ds, batch_size=32, shuffle=False,
+                        device_images=True, device_text=True,
+                        cache_device_batches=True)
+    e1 = [{k: np.asarray(v) for k, v in b.items()} for b in full]
+    e2 = [{k: np.asarray(v) for k, v in b.items()} for b in full]
+    assert full._cache_complete
+    # cached entries hold no table-resident tensors
+    for dev in full._device_cache:
+        assert "image" not in dev and "ids" not in dev and "eids" not in dev
+    for a, b, c in zip(expect, e1, e2):
+        for k in a:
+            np.testing.assert_array_equal(a[k], np.asarray(b[k]))
+            np.testing.assert_array_equal(a[k], np.asarray(c[k]))
+
+
+def test_device_text_rejects_sharded_placement(small_ds):
+    with pytest.raises(ValueError, match="device_text"):
+        DeviceLoader(small_ds, batch_size=32, with_images=False,
+                     device_text=True, device_put=lambda b: b)
+
+
+def test_small_vectors_stay_host_numpy(small_ds):
+    """With default placement, weight/label/sample_index are host numpy in
+    the yielded batch (epoch accounting must not block on a device
+    readback); the big tensors are device arrays."""
+    import jax
+
+    loader = DeviceLoader(small_ds, batch_size=32, shuffle=False,
+                          with_images=False)
+    b = next(iter(loader))
+    for k in ("weight", "label", "sample_index"):
+        assert isinstance(b[k], np.ndarray), k
+    assert isinstance(b["ids"], jax.Array)
+    # a custom placement hook (sharded/multihost path) places everything
+    placed = next(iter(DeviceLoader(small_ds, batch_size=32, shuffle=False,
+                                    with_images=False,
+                                    device_put=jax.device_put)))
+    assert isinstance(placed["weight"], jax.Array)
