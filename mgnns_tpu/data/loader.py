@@ -178,7 +178,10 @@ class DeviceLoader:
                 tabs = {"ids": jax.device_put(t.ids),
                         "lens": jax.device_put(t.lens),
                         "mask": jax.device_put(t.mask),
-                        "eids": jax.device_put(t.eids)}
+                        "eids": jax.device_put(t.eids),
+                        # labels ride along for fused whole-epoch scans,
+                        # where the loss needs them on device per batch
+                        "label": jax.device_put(self.ds.labels)}
                 self.ds._device_text_tables = tabs
             self._text_tables = tabs
         return self._text_tables
@@ -194,6 +197,48 @@ class DeviceLoader:
         if self.device_images:
             out["image"] = jnp.take(self._ensure_image_table(), idx, axis=0)
         return out
+
+    def _epoch_chunks(self):
+        """This epoch's batch index chunks [(indices, forced_n_valid)],
+        advancing the epoch counter (shuffle order differs per epoch)."""
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        chunks = [(order[i : i + self.batch_size], None)
+                  for i in range(0, len(order), self.batch_size)]
+        # forced epoch length: all-padding batches past the data's end
+        chunks += [(order[-1:], 0)] * (self.num_batches - len(chunks))
+        return chunks
+
+    def epoch_plan(self) -> dict | None:
+        """Fused-epoch handoff: when the split is fully device-resident
+        (``device_text`` and, if images are used, ``device_images``), one
+        epoch is described by the resident tables plus a [num_batches, B]
+        sample-index matrix and weight matrix — the engine runs the whole
+        epoch as a single ``lax.scan`` program, gathering every batch on
+        device.  Returns None when the loader must stream (then the
+        engine falls back to per-batch iteration).  Advances the epoch
+        counter like an iteration would."""
+        if not (self.device_text and self._host_small
+                and (self.device_images or not self.with_images)):
+            return None
+        chunks = self._epoch_chunks()
+        B = self.batch_size
+        idx = np.zeros((len(chunks), B), np.int32)
+        wt = np.zeros((len(chunks), B), np.float32)
+        for i, (chunk, n_valid) in enumerate(chunks):
+            n = len(chunk) if n_valid is None else n_valid
+            pad = B - len(chunk)
+            full = (np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
+                    if pad else chunk)
+            idx[i] = full
+            wt[i] = np.arange(B) < n
+        tables = dict(self._ensure_text_tables())
+        if self.device_images:
+            tables["image"] = self._ensure_image_table()
+        return {"tables": tables, "idx": idx, "weight": wt,
+                "labels": self.ds.labels[idx]}
 
     def __iter__(self) -> Iterator[dict]:
         """Producer-thread iteration: batch assembly + H2D placement run on a
@@ -217,15 +262,8 @@ class DeviceLoader:
             if self._cache_complete:
                 return
 
-        order = np.arange(len(self.ds))
-        if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(order)
-        self.epoch += 1
-        rng = random.Random(self.seed + self.epoch)
-        chunks = [(order[i : i + self.batch_size], None)
-                  for i in range(0, len(order), self.batch_size)]
-        # forced epoch length: all-padding batches past the data's end
-        chunks += [(order[-1:], 0)] * (self.num_batches - len(chunks))
+        rng = random.Random(self.seed + self.epoch + 1)
+        chunks = self._epoch_chunks()
         # caching requires shuffle=False, so chunk k is identical every
         # epoch: resume streaming right after the cached prefix
         chunks = chunks[n_cached:]

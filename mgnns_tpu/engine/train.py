@@ -165,12 +165,118 @@ class Engine:
             cm = M.confusion_update(cm, preds, batch["label"], batch["weight"])
             return loss, preds, cm
 
+        self._train_step_fn = train_step
+        self._eval_step_fn = eval_step
         self._train_step = jax.jit(train_step, donate_argnums=(0, 2))
         self._eval_step = jax.jit(eval_step, donate_argnums=(3,))
+        # fused whole-epoch programs (lax.scan over an index matrix into
+        # device-resident tables) are built lazily on first use
+        self._fused_train = None
+        self._fused_eval = None
+
+    def _build_fused(self):
+        """One jitted program per EPOCH: ``lax.scan`` over a [num_batches, B]
+        sample-index matrix, gathering every batch from device-resident
+        tables inside the scan body.  The per-step host dispatch (and its
+        round-trip latency — the dominant cost for small steps on a
+        network-attached TPU) disappears: a train epoch is ONE device call.
+        Mathematically identical to the loop path — the scan body is the
+        same ``train_step``/``eval_step`` function."""
+        train_step, eval_step = self._train_step_fn, self._eval_step_fn
+
+        def gather(tables, idx, weight):
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in tables.items()}
+            batch["weight"] = weight
+            return batch
+
+        def fused_train(state, cm, tables, idx_mat, wt_mat):
+            def body(carry, xs):
+                state, cm = carry
+                idx, w = xs
+                state, loss, cm = train_step(state, gather(tables, idx, w), cm)
+                return (state, cm), loss
+
+            (state, cm), losses = jax.lax.scan(body, (state, cm), (idx_mat, wt_mat))
+            return state, cm, losses
+
+        def fused_eval(params, batch_stats, cm, tables, idx_mat, wt_mat):
+            def body(cm, xs):
+                idx, w = xs
+                loss, preds, cm = eval_step(
+                    params, batch_stats, gather(tables, idx, w), cm)
+                return cm, (loss, preds)
+
+            cm, (losses, preds) = jax.lax.scan(body, cm, (idx_mat, wt_mat))
+            return cm, losses, preds
+
+        self._fused_train = jax.jit(fused_train, donate_argnums=(0, 1))
+        self._fused_eval = jax.jit(fused_eval, donate_argnums=(2,))
 
     # ---------------------------------------------------------------- epochs
 
+    def _epoch_plan(self, loader):
+        """A loader that keeps its whole split in device tables can hand the
+        engine an epoch plan (tables + index/weight matrices) for fused
+        whole-epoch execution.  Sharded runs keep the loop path (tables are
+        committed to the default device)."""
+        if self.mesh is not None:
+            return None
+        plan_fn = getattr(loader, "epoch_plan", None)
+        return plan_fn() if plan_fn is not None else None
+
+    def _finish_losses(self, out: dict, loss_values) -> None:
+        finite = [l for l in loss_values if np.isfinite(l)]
+        out["loss"] = float(np.mean(finite)) if finite else float("nan")
+        out["skipped_steps"] = len(loss_values) - len(finite)
+        if out["skipped_steps"]:
+            print(f"  [nan-guard] skipped {out['skipped_steps']} non-finite update(s)")
+
+    def _train_epoch_fused(self, plan: dict) -> dict:
+        if self._fused_train is None:
+            self._build_fused()
+        cm = M.confusion_init(self.num_classes)
+        t0 = time.time()
+        self.state, cm, losses = self._fused_train(
+            self.state, cm, plan["tables"], plan["idx"], plan["weight"])
+        jax.block_until_ready(self.state.params)
+        dt = time.time() - t0
+        out = M.metrics_from_confusion(cm)
+        self._finish_losses(out, np.asarray(losses, np.float64).tolist())
+        n = int(plan["weight"].sum())
+        out["samples_per_sec"] = n / dt if dt > 0 else 0.0
+        out["epoch_seconds"] = dt
+        out["fused"] = True
+        return out
+
+    def _eval_epoch_fused(self, plan: dict, collect_preds: bool) -> dict:
+        if self._fused_eval is None:
+            self._build_fused()
+        cm = M.confusion_init(self.num_classes)
+        t0 = time.time()
+        cm, losses, preds = self._fused_eval(
+            self.state.params, self.state.batch_stats, cm,
+            plan["tables"], plan["idx"], plan["weight"])
+        jax.block_until_ready(cm)
+        dt = time.time() - t0
+        out = M.metrics_from_confusion(cm)
+        lv = np.asarray(losses, np.float64)
+        wv = plan["weight"].sum(axis=1).astype(np.float64)
+        out["loss"] = float((lv * wv).sum() / max(wv.sum(), 1.0)) if lv.size else 0.0
+        n = int(plan["weight"].sum())
+        out["samples_per_sec"] = n / dt if dt > 0 else 0.0
+        out["confusion"] = np.asarray(cm)
+        out["fused"] = True
+        if collect_preds:
+            w = plan["weight"].reshape(-1).astype(bool)
+            out["preds"] = np.asarray(preds).reshape(-1)[w]
+            out["targets"] = plan["labels"].reshape(-1)[w]
+            out["sample_index"] = plan["idx"].reshape(-1)[w]
+        return out
+
     def train_epoch(self, loader: Iterable[dict], log_every: int = 0) -> dict:
+        plan = self._epoch_plan(loader)
+        if plan is not None:
+            return self._train_epoch_fused(plan)
         cm = M.confusion_init(self.num_classes)
         losses = []
         t0 = time.time()
@@ -193,12 +299,7 @@ class Engine:
         t_end = time.time()
         dt = t_end - t0
         out = M.metrics_from_confusion(cm)
-        loss_values = [float(l) for l in losses]
-        finite = [l for l in loss_values if np.isfinite(l)]
-        out["loss"] = float(np.mean(finite)) if finite else float("nan")
-        out["skipped_steps"] = len(loss_values) - len(finite)
-        if out["skipped_steps"]:
-            print(f"  [nan-guard] skipped {out['skipped_steps']} non-finite update(s)")
+        self._finish_losses(out, [float(l) for l in losses])
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
         if t_steady is not None and n > n_steady and t_end > t_steady:
             out["steady_samples_per_sec"] = (n - n_steady) / (t_end - t_steady)
@@ -206,6 +307,9 @@ class Engine:
         return out
 
     def eval_epoch(self, loader: Iterable[dict], collect_preds: bool = False) -> dict:
+        plan = self._epoch_plan(loader)
+        if plan is not None:
+            return self._eval_epoch_fused(plan, collect_preds)
         cm = M.confusion_init(self.num_classes)
         losses, wsums, all_preds, all_ids, all_tgts = [], [], [], [], []
         t0 = time.time()

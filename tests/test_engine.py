@@ -156,6 +156,106 @@ def _make_engine(tmp_path=None, **kw):
     return eng, loader
 
 
+class _FakeTextDS:
+    """Minimal TumblrDataset stand-in for DeviceLoader (text-only)."""
+
+    def __init__(self, ids, lens, mask, eids, labels):
+        from types import SimpleNamespace
+
+        self.text = SimpleNamespace(ids=ids, lens=lens, mask=mask, eids=eids)
+        self.labels = labels
+
+    def __len__(self):
+        return len(self.labels)
+
+    def cacheable_images(self):
+        return True
+
+
+def _fused_fixture(L=8, ngram=2):
+    from mgnns_tpu.data.loader import DeviceLoader
+
+    texts = [t for t, _ in CORPUS]
+    labels = np.array([l for _, l in CORPUS], np.int32)
+    vocab = build_vocab(texts, 1)
+    graph = cal_pmi(texts, vocab, 3, 1, max_len=L)
+    w2i = make_word_to_id(vocab)
+    ids = np.zeros((len(texts), L), np.int32)
+    lens = np.zeros((len(texts),), np.int32)
+    for n, t in enumerate(texts):
+        toks = words_to_ids(t.split(" "), w2i)
+        ids[n, : len(toks)] = toks
+        lens[n] = len(toks)
+    mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float32)
+    eids = doc_window_edge_ids(ids, lens, ngram, graph)
+    ds = _FakeTextDS(ids, lens, mask, eids, labels)
+
+    def engine():
+        params = text_model_init(jax.random.key(0), len(vocab), 2, graph.num_edges)
+
+        def apply_fn(p, bs, batch, *, train, rng):
+            logits = text_model_apply(p, batch, ngram=2, train=train, rng=rng,
+                                      dropout_rate=0.0)
+            return logits, bs
+
+        return Engine(apply_fn, params, {}, num_classes=2, lr=5e-2,
+                      steps_per_epoch=2, epoch_step=(1000,))
+
+    def loader(**kw):
+        return DeviceLoader(ds, 3, with_images=False, **kw)
+
+    return engine, loader
+
+
+def test_fused_epoch_matches_loop():
+    """A device_text loader hands the engine an epoch plan; the fused
+    lax.scan epoch must produce the same training trajectory, metrics, and
+    collected predictions as per-batch iteration."""
+    engine, loader = _fused_fixture()
+    loop_eng, fused_eng = engine(), engine()
+    loop_ld = loader()
+    fused_ld = loader(device_text=True)
+    assert fused_ld.epoch_plan() is not None  # precondition; advances epoch
+    for _ in range(3):
+        tr_loop = loop_eng.train_epoch(loop_ld)
+        tr_fused = fused_eng.train_epoch(fused_ld)
+        assert tr_fused.get("fused") is True and "fused" not in tr_loop
+        assert tr_fused["accuracy"] == tr_loop["accuracy"]
+        assert tr_fused["loss"] == pytest.approx(tr_loop["loss"], rel=1e-5)
+        assert tr_fused["skipped_steps"] == tr_loop["skipped_steps"] == 0
+    for a, b in zip(jax.tree_util.tree_leaves(loop_eng.state.params),
+                    jax.tree_util.tree_leaves(fused_eng.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    ev_loop = loop_eng.eval_epoch(loop_ld, collect_preds=True)
+    ev_fused = fused_eng.eval_epoch(fused_ld, collect_preds=True)
+    assert ev_fused.get("fused") is True
+    assert ev_fused["accuracy"] == ev_loop["accuracy"]
+    assert ev_fused["loss"] == pytest.approx(ev_loop["loss"], rel=1e-5)
+    np.testing.assert_array_equal(ev_fused["preds"], ev_loop["preds"])
+    np.testing.assert_array_equal(ev_fused["targets"], ev_loop["targets"])
+    np.testing.assert_array_equal(ev_fused["sample_index"],
+                                  ev_loop["sample_index"])
+    np.testing.assert_array_equal(ev_fused["confusion"], ev_loop["confusion"])
+
+
+def test_fused_epoch_shuffled_and_forced_length():
+    """Fused epochs respect shuffling (different index plan per epoch) and
+    forced epoch lengths (all-padding batches carry zero weight)."""
+    engine, loader = _fused_fixture()
+    ld = loader(device_text=True, shuffle=True, num_batches=4)
+    p1, p2 = ld.epoch_plan(), ld.epoch_plan()
+    assert p1["idx"].shape == (4, 3) and p1["weight"].shape == (4, 3)
+    assert p1["weight"].sum() == p2["weight"].sum() == 6
+    assert (p1["weight"][-1] == 0).all()
+    assert not np.array_equal(p1["idx"][:2], p2["idx"][:2])  # reshuffled
+    eng = engine()
+    out = eng.train_epoch(ld)
+    assert out.get("fused") is True and out["skipped_steps"] == 0
+    # streaming loaders (no tables) never produce a plan
+    assert loader().epoch_plan() is None
+
+
 def test_engine_overfits_toy_corpus():
     eng, loader = _make_engine()
     first = eng.train_epoch(loader())
