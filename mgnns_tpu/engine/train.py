@@ -173,6 +173,7 @@ class Engine:
         # device-resident tables) are built lazily on first use
         self._fused_train = None
         self._fused_eval = None
+        self._fused_cache = {}
 
     def _build_fused(self):
         """One jitted program per EPOCH: ``lax.scan`` over a [num_batches, B]
@@ -212,6 +213,21 @@ class Engine:
         self._fused_train = jax.jit(fused_train, donate_argnums=(0, 1))
         self._fused_eval = jax.jit(fused_eval, donate_argnums=(2,))
 
+    def _fused_call(self, name: str, jit_fn, args, out: dict):
+        """AOT-compile the fused epoch program (cached per input signature)
+        so compile time is reported separately (``compile_seconds``) instead
+        of silently deflating epoch-0 samples/s."""
+        sig = (name, str(jax.tree_util.tree_map(
+            lambda x: (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x)))),
+            args)))
+        exe = self._fused_cache.get(sig)
+        if exe is None:
+            t0 = time.time()
+            exe = jit_fn.lower(*args).compile()
+            out["compile_seconds"] = time.time() - t0
+            self._fused_cache[sig] = exe
+        return exe(*args)
+
     # ---------------------------------------------------------------- epochs
 
     def _epoch_plan(self, loader):
@@ -235,12 +251,15 @@ class Engine:
         if self._fused_train is None:
             self._build_fused()
         cm = M.confusion_init(self.num_classes)
+        pre: dict = {}
         t0 = time.time()
-        self.state, cm, losses = self._fused_train(
-            self.state, cm, plan["tables"], plan["idx"], plan["weight"])
+        self.state, cm, losses = self._fused_call(
+            "train", self._fused_train,
+            (self.state, cm, plan["tables"], plan["idx"], plan["weight"]), pre)
         jax.block_until_ready(self.state.params)
-        dt = time.time() - t0
+        dt = time.time() - t0 - pre.get("compile_seconds", 0.0)
         out = M.metrics_from_confusion(cm)
+        out.update(pre)
         self._finish_losses(out, np.asarray(losses, np.float64).tolist())
         n = int(plan["weight"].sum())
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
@@ -252,13 +271,16 @@ class Engine:
         if self._fused_eval is None:
             self._build_fused()
         cm = M.confusion_init(self.num_classes)
+        pre: dict = {}
         t0 = time.time()
-        cm, losses, preds = self._fused_eval(
-            self.state.params, self.state.batch_stats, cm,
-            plan["tables"], plan["idx"], plan["weight"])
+        cm, losses, preds = self._fused_call(
+            "eval", self._fused_eval,
+            (self.state.params, self.state.batch_stats, cm,
+             plan["tables"], plan["idx"], plan["weight"]), pre)
         jax.block_until_ready(cm)
-        dt = time.time() - t0
+        dt = time.time() - t0 - pre.get("compile_seconds", 0.0)
         out = M.metrics_from_confusion(cm)
+        out.update(pre)
         lv = np.asarray(losses, np.float64)
         wv = plan["weight"].sum(axis=1).astype(np.float64)
         out["loss"] = float((lv * wv).sum() / max(wv.sum(), 1.0)) if lv.size else 0.0
@@ -419,7 +441,7 @@ class Engine:
 
         keep = ("loss", "accuracy", "micro_f1", "macro_f1", "weighted_f1",
                 "samples_per_sec", "steady_samples_per_sec", "epoch_seconds",
-                "skipped_steps")
+                "compile_seconds", "skipped_steps")
         row = {
             "ts": time.time(),
             "epoch": epoch,
