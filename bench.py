@@ -94,7 +94,9 @@ def main():
                 b = {k: batch[k] for k in ("ids", "lens", "eids")}
                 preds = text_eval(tparams, b)
                 n += int(np.asarray(batch["weight"]).sum())
-            jax.block_until_ready(preds)
+            # real D2H readback: block_until_ready can return before remote
+            # execution completes on a network-attached TPU
+            int(np.asarray(preds).sum())
             return n
 
         run_text()
@@ -146,7 +148,8 @@ def main():
             b = {k: batch[k] for k in ("ids", "lens", "mask", "eids", "image")}
             preds = eval_step(params, bstats, b)
             n += int(np.asarray(batch["weight"]).sum())
-        jax.block_until_ready(preds)
+        # real D2H readback (see text mode): a true end-of-epoch barrier
+        int(np.asarray(preds).sum())
         return n
 
     if mode == "train":
@@ -205,7 +208,8 @@ def main():
             b = {k: batch[k] for k in ("ids", "lens", "mask", "eids", "image")}
             preds = eval_step(params, bstats, b)
             n += int(np.asarray(batch["weight"]).sum())
-        jax.block_until_ready(preds)
+        # real D2H readback (see text mode): a true end-of-epoch barrier
+        int(np.asarray(preds).sum())
         return n
 
     live_loader = DeviceLoader(ds, batch_size, shuffle=False, num_threads=8,

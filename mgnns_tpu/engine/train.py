@@ -256,11 +256,13 @@ class Engine:
         self.state, cm, losses = self._fused_call(
             "train", self._fused_train,
             (self.state, cm, plan["tables"], plan["idx"], plan["weight"]), pre)
-        jax.block_until_ready(self.state.params)
+        # D2H loss readback = true completion barrier (block_until_ready can
+        # return early on a network-attached TPU, docs/PERFORMANCE.md)
+        loss_values = np.asarray(losses).astype(np.float64).tolist()
         dt = time.time() - t0 - pre.get("compile_seconds", 0.0)
         out = M.metrics_from_confusion(cm)
         out.update(pre)
-        self._finish_losses(out, np.asarray(losses, np.float64).tolist())
+        self._finish_losses(out, loss_values)
         n = int(plan["weight"].sum())
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
         out["epoch_seconds"] = dt
@@ -277,16 +279,16 @@ class Engine:
             "eval", self._fused_eval,
             (self.state.params, self.state.batch_stats, cm,
              plan["tables"], plan["idx"], plan["weight"]), pre)
-        jax.block_until_ready(cm)
+        cm_host = np.asarray(cm)  # D2H readback = true completion barrier
         dt = time.time() - t0 - pre.get("compile_seconds", 0.0)
-        out = M.metrics_from_confusion(cm)
+        out = M.metrics_from_confusion(cm_host)
         out.update(pre)
         lv = np.asarray(losses, np.float64)
         wv = plan["weight"].sum(axis=1).astype(np.float64)
         out["loss"] = float((lv * wv).sum() / max(wv.sum(), 1.0)) if lv.size else 0.0
         n = int(plan["weight"].sum())
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
-        out["confusion"] = np.asarray(cm)
+        out["confusion"] = cm_host
         out["fused"] = True
         if collect_preds:
             w = plan["weight"].reshape(-1).astype(bool)
@@ -312,16 +314,25 @@ class Engine:
                 # steady-state clock starts after step 1 completes: the
                 # first step absorbs one-time costs (jit compile, device
                 # pixel-table build/upload) that would otherwise make
-                # epoch-0 samples/s unrepresentative of the run
-                jax.block_until_ready(loss)
+                # epoch-0 samples/s unrepresentative of the run.  A real
+                # D2H readback, not block_until_ready — the latter can
+                # return before remote execution completes on a
+                # network-attached TPU (see docs/PERFORMANCE.md)
+                float(np.asarray(loss))
                 t_steady, n_steady = time.time(), n
             if log_every and (i + 1) % log_every == 0:
                 print(f"  [train {i+1}] loss={float(losses[-1]):.4f}")
-        jax.block_until_ready(self.state.params)
+        # One stacked D2H readback of the per-step losses doubles as a true
+        # end-of-epoch barrier: device execution is in-order, so the stacked
+        # value implies every step ran.  (block_until_ready can return early
+        # on a network-attached TPU; per-scalar reads would pay one round
+        # trip each.)
+        loss_values = (np.asarray(jnp.stack(losses)).astype(np.float64).tolist()
+                       if losses else [])
         t_end = time.time()
         dt = t_end - t0
         out = M.metrics_from_confusion(cm)
-        self._finish_losses(out, [float(l) for l in losses])
+        self._finish_losses(out, loss_values)
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
         if t_steady is not None and n > n_steady and t_end > t_steady:
             out["steady_samples_per_sec"] = (n - n_steady) / (t_end - t_steady)
@@ -343,7 +354,7 @@ class Engine:
             wsums.append(float(np.asarray(batch["weight"]).sum()))
             n += int(wsums[-1])
             if t_steady is None:
-                jax.block_until_ready(loss)  # see train_epoch: compile boundary
+                float(np.asarray(loss))  # see train_epoch: compile boundary
                 t_steady, n_steady = time.time(), n
             if collect_preds:
                 w = np.asarray(batch["weight"]).astype(bool)
@@ -351,12 +362,14 @@ class Engine:
                 all_tgts.append(np.asarray(batch["label"])[w])
                 if "sample_index" in batch:
                     all_ids.append(np.asarray(batch["sample_index"])[w])
+        # stacked loss readback = true end-of-epoch barrier (see train_epoch)
+        lv = (np.asarray(jnp.stack(losses)).astype(np.float64)
+              if losses else np.zeros(0))
         dt = time.time() - t0
         out = M.metrics_from_confusion(cm)
         # weight each batch-mean loss by its valid-sample count (the last
         # batch is usually short; an unweighted mean would over-count it)
         if losses:
-            lv = np.array([float(l) for l in losses])
             wv = np.array(wsums)
             out["loss"] = float((lv * wv).sum() / max(wv.sum(), 1.0))
         else:
