@@ -174,6 +174,7 @@ class Engine:
         self._fused_train = None
         self._fused_eval = None
         self._fused_cache = {}
+        self._fused_disabled = False
 
     def _build_fused(self):
         """One jitted program per EPOCH: ``lax.scan`` over a [num_batches, B]
@@ -223,7 +224,17 @@ class Engine:
         exe = self._fused_cache.get(sig)
         if exe is None:
             t0 = time.time()
-            exe = jit_fn.lower(*args).compile()
+            try:
+                exe = jit_fn.lower(*args).compile()
+            except Exception as e:  # e.g. XLA HBM OOM: tables + step
+                # workspace must coexist in the fused program's static
+                # allocation.  Compilation failed, so no buffer was donated
+                # — falling back to per-batch execution is safe.
+                print(f"  [fused-epoch] compile failed "
+                      f"({type(e).__name__}); falling back to per-batch "
+                      f"execution for this engine")
+                self._fused_disabled = True
+                return None
             out["compile_seconds"] = time.time() - t0
             self._fused_cache[sig] = exe
         return exe(*args)
@@ -235,7 +246,7 @@ class Engine:
         engine an epoch plan (tables + index/weight matrices) for fused
         whole-epoch execution.  Sharded runs keep the loop path (tables are
         committed to the default device)."""
-        if self.mesh is not None:
+        if self.mesh is not None or self._fused_disabled:
             return None
         plan_fn = getattr(loader, "epoch_plan", None)
         return plan_fn() if plan_fn is not None else None
@@ -247,15 +258,18 @@ class Engine:
         if out["skipped_steps"]:
             print(f"  [nan-guard] skipped {out['skipped_steps']} non-finite update(s)")
 
-    def _train_epoch_fused(self, plan: dict) -> dict:
+    def _train_epoch_fused(self, plan: dict) -> dict | None:
         if self._fused_train is None:
             self._build_fused()
         cm = M.confusion_init(self.num_classes)
         pre: dict = {}
         t0 = time.time()
-        self.state, cm, losses = self._fused_call(
+        res = self._fused_call(
             "train", self._fused_train,
             (self.state, cm, plan["tables"], plan["idx"], plan["weight"]), pre)
+        if res is None:
+            return None  # compile failure; caller falls back to the loop path
+        self.state, cm, losses = res
         # D2H loss readback = true completion barrier (block_until_ready can
         # return early on a network-attached TPU, docs/PERFORMANCE.md)
         loss_values = np.asarray(losses).astype(np.float64).tolist()
@@ -269,16 +283,19 @@ class Engine:
         out["fused"] = True
         return out
 
-    def _eval_epoch_fused(self, plan: dict, collect_preds: bool) -> dict:
+    def _eval_epoch_fused(self, plan: dict, collect_preds: bool) -> dict | None:
         if self._fused_eval is None:
             self._build_fused()
         cm = M.confusion_init(self.num_classes)
         pre: dict = {}
         t0 = time.time()
-        cm, losses, preds = self._fused_call(
+        res = self._fused_call(
             "eval", self._fused_eval,
             (self.state.params, self.state.batch_stats, cm,
              plan["tables"], plan["idx"], plan["weight"]), pre)
+        if res is None:
+            return None  # compile failure; caller falls back to the loop path
+        cm, losses, preds = res
         cm_host = np.asarray(cm)  # D2H readback = true completion barrier
         dt = time.time() - t0 - pre.get("compile_seconds", 0.0)
         out = M.metrics_from_confusion(cm_host)
@@ -300,7 +317,9 @@ class Engine:
     def train_epoch(self, loader: Iterable[dict], log_every: int = 0) -> dict:
         plan = self._epoch_plan(loader)
         if plan is not None:
-            return self._train_epoch_fused(plan)
+            out = self._train_epoch_fused(plan)
+            if out is not None:
+                return out
         cm = M.confusion_init(self.num_classes)
         losses = []
         t0 = time.time()
@@ -342,7 +361,9 @@ class Engine:
     def eval_epoch(self, loader: Iterable[dict], collect_preds: bool = False) -> dict:
         plan = self._epoch_plan(loader)
         if plan is not None:
-            return self._eval_epoch_fused(plan, collect_preds)
+            out = self._eval_epoch_fused(plan, collect_preds)
+            if out is not None:
+                return out
         cm = M.confusion_init(self.num_classes)
         losses, wsums, all_preds, all_ids, all_tgts = [], [], [], [], []
         t0 = time.time()

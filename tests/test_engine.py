@@ -256,6 +256,39 @@ def test_fused_epoch_shuffled_and_forced_length():
     assert loader().epoch_plan() is None
 
 
+def test_fused_compile_failure_falls_back_to_loop(monkeypatch):
+    """If the fused whole-epoch program fails to compile (e.g. tables +
+    step workspace exceed HBM), the engine must fall back to per-batch
+    execution — once, permanently, without corrupting state."""
+    engine, loader = _fused_fixture()
+    eng = engine()
+    eng._build_fused()
+
+    class _BoomLowered:
+        def compile(self):
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    class _BoomJit:
+        def lower(self, *a, **k):
+            return _BoomLowered()
+
+    eng._fused_train = _BoomJit()
+    eng._fused_eval = _BoomJit()
+    # prevent rebuild from replacing the broken stubs
+    monkeypatch.setattr(eng, "_build_fused", lambda: None)
+    ld = loader(device_text=True)
+    out = eng.train_epoch(ld)
+    assert out.get("fused") is None and out["skipped_steps"] == 0
+    assert eng._fused_disabled
+    ev = eng.eval_epoch(ld, collect_preds=True)
+    assert ev.get("fused") is None and len(ev["preds"]) == 6
+    # reference trajectory: a clean loop-path engine sees the same numbers
+    ref = engine()
+    ld2 = loader()
+    r1 = ref.train_epoch(ld2)
+    assert r1["loss"] == pytest.approx(out["loss"], rel=1e-5)
+
+
 def test_engine_overfits_toy_corpus():
     eng, loader = _make_engine()
     first = eng.train_epoch(loader())
