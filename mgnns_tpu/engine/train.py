@@ -187,7 +187,14 @@ class Engine:
         train_step, eval_step = self._train_step_fn, self._eval_step_fn
 
         def gather(tables, idx, weight):
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in tables.items()}
+            # 2D-reshaped row gather: XLA:TPU lowers the native N-d row
+            # gather ~4x slower for large rows (27.3 vs 7.1 ms for 128 rows
+            # of 448px uint8); the reshapes are free inside the program
+            batch = {
+                k: jnp.take(v.reshape(v.shape[0], -1), idx, axis=0)
+                     .reshape((idx.shape[0],) + v.shape[1:])
+                for k, v in tables.items()
+            }
             batch["weight"] = weight
             return batch
 
