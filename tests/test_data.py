@@ -296,3 +296,27 @@ def test_small_vectors_stay_host_numpy(small_ds):
                                     with_images=False,
                                     device_put=jax.device_put)))
     assert isinstance(placed["weight"], jax.Array)
+
+
+def test_gather_rows_fast_paths_match_naive():
+    """`_gather_rows` picks dynamic_slice for contiguous ascending runs and
+    a 2D-reshaped take otherwise (XLA:TPU lowers the native N-d row gather
+    ~4x slower for large rows, see data/loader.py); both must equal the
+    naive per-row gather, including N-d rows and repeated indices."""
+    from mgnns_tpu.data.loader import _gather_rows
+
+    rng = np.random.default_rng(0)
+    table = rng.integers(0, 255, size=(17, 3, 4, 2), dtype=np.uint8)
+    import jax
+    dtab = jax.device_put(table)
+
+    cases = [
+        np.arange(5, 13),                 # contiguous run -> dynamic_slice
+        np.arange(0, 17),                 # full table
+        np.array([3]),                    # single row (contiguous)
+        np.array([4, 2, 16, 0, 4]),       # shuffled + repeat -> 2D take
+        np.array([16, 15, 14]),           # descending -> 2D take
+    ]
+    for idx in cases:
+        got = np.asarray(_gather_rows(dtab, idx))
+        np.testing.assert_array_equal(got, table[idx], err_msg=str(idx))
