@@ -1,0 +1,84 @@
+"""Fusion-model hyperparameter ladder on real TumEmo data (TPU, 1 chip).
+
+Same protocol as docs/RESULTS.md's fusion rows: train on the val split
+(10,035 records — the upstream train blob is git-LFS-missing), select and
+report on the unseen test split, synthetic pixels (no image dump ships),
+random-init embeddings (no GloVe ships) — floors, not ceilings.
+
+`--freeze_trunks` training runs ~490 samples/s at b=16 on this chip, so a
+10-epoch fusion run is ~6 minutes — a grid of 6 configs is an hour of
+unattended TPU time.  One TPU process at a time (sequential).
+
+Writes results/r3/fusion_ladder.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BASE = [
+    sys.executable, "-u", "-m", "mgnns_tpu.cli.main",
+    "--data_root_path", "/root/reference/data",
+    "--pmi_phase", "val", "--train_phase", "val",
+    "--val_phase", "test", "--test_phase", "test",
+    "--freeze_trunks", "--bn_mode", "frozen", "--fp16", "--use_pallas",
+    "--device_images", "--device_text",
+    "--epochs", "10", "--epoch_step", "30",
+    "-b", "16", "--eval_batch_size", "128",
+]
+
+CONFIGS = {
+    # name: extra flags (baseline = committed best: lr 1e-4, ones edges)
+    "lr5e-5": ["--lr", "5e-5"],
+    "lr1e-4_drop0.3": ["--lr", "1e-4", "--dropout", "0.3"],
+    "lr1e-4_drop0.7": ["--lr", "1e-4", "--dropout", "0.7"],
+    "lr1e-4_stack1": ["--lr", "1e-4", "--stack_num", "1"],
+    "lr1e-4_b32": ["--lr", "1e-4", "-b", "32"],
+    "lr1e-4_seed1": ["--lr", "1e-4", "--seed", "1"],
+}
+
+
+def run_one(name, extra):
+    metrics = f"/tmp/fladder_{name}.jsonl"
+    if os.path.exists(metrics):
+        os.remove(metrics)
+    cmd = BASE + extra + [
+        "--metrics_path", metrics,
+        "--model_name", f"fladder_{name}",
+        "--save_model_path", f"/tmp/fladder_ckpt_{name}",
+    ]
+    proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
+                          timeout=3600)
+    rec = {"config": name, "flags": " ".join(extra), "ok": False}
+    try:
+        rows = [json.loads(l) for l in open(metrics)]
+        best = max(rows, key=lambda r: r["val"]["accuracy"])
+        rec.update(ok=True, best_epoch=best["epoch"],
+                   heldout_acc=round(best["val"]["accuracy"], 4),
+                   heldout_macro_f1=round(best["val"]["macro_f1"], 4),
+                   train_sps=round(rows[-1]["train"]["samples_per_sec"], 1))
+    except (OSError, json.JSONDecodeError, ValueError) as e:
+        rec["error"] = f"{e}; stderr tail: {(proc.stderr or '')[-300:]}"
+    return rec
+
+
+def main():
+    results = []
+    for name, extra in CONFIGS.items():
+        print(f"[fladder] {name}", flush=True)
+        rec = run_one(name, extra)
+        print(f"[fladder]   -> {rec.get('heldout_acc', 'FAILED')} "
+              f"(mf1 {rec.get('heldout_macro_f1', '-')}, e{rec.get('best_epoch', '-')})",
+              flush=True)
+        results.append(rec)
+    outp = os.path.join(ROOT, "results", "r3", "fusion_ladder.json")
+    with open(outp, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
