@@ -20,9 +20,17 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="MGNNS-TPU prediction")
-    p.add_argument("--data_root_path", required=True)
-    p.add_argument("--checkpoint", required=True, help="engine checkpoint dir")
-    p.add_argument("--input", required=True, help="JSONL of {'text', 'image'?}")
+    p.add_argument("--data_root_path", default=None)
+    p.add_argument("--checkpoint", default=None, help="engine checkpoint dir")
+    p.add_argument("--from_exported", default=None,
+                   help="serve a jax.export artifact directory (see "
+                        "--export_model); --data_root_path/--checkpoint are "
+                        "then not needed")
+    p.add_argument("--export_model", default=None,
+                   help="write a portable AOT serving artifact (StableHLO + "
+                        "weights + preproc) to this directory and exit; "
+                        "--input is then not needed")
+    p.add_argument("--input", default=None, help="JSONL of {'text', 'image'?}")
     p.add_argument("--output", default=None, help="output JSONL (default stdout)")
     p.add_argument("--text_only", action="store_true")
     p.add_argument("--pmi_phase", default="train")
@@ -44,12 +52,32 @@ def main(argv=None) -> None:
     from mgnns_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    predictor = Predictor.from_engine_artifacts(
-        args.data_root_path, args.checkpoint,
-        text_only=args.text_only, pmi_phase=args.pmi_phase,
-        image_backend=args.image_backend, image_root=args.image_root,
-        max_batch=args.max_batch, step=args.step,
-    )
+    if args.from_exported:
+        from mgnns_tpu.export import load_exported
+
+        predictor = load_exported(
+            args.from_exported, image_root=args.image_root,
+            image_backend=args.image_backend)
+    else:
+        if not (args.data_root_path and args.checkpoint):
+            raise SystemExit(
+                "--data_root_path and --checkpoint are required "
+                "(or pass --from_exported)")
+        predictor = Predictor.from_engine_artifacts(
+            args.data_root_path, args.checkpoint,
+            text_only=args.text_only, pmi_phase=args.pmi_phase,
+            image_backend=args.image_backend, image_root=args.image_root,
+            max_batch=args.max_batch, step=args.step,
+        )
+    if args.export_model:
+        from mgnns_tpu.export import export_predictor
+
+        export_predictor(predictor, args.export_model)
+        print(f"exported serving artifact to {args.export_model}")
+        if not args.input:
+            return
+    if not args.input:
+        raise SystemExit("--input is required (or pass --export_model)")
     with open(args.input) as f:
         records = [json.loads(l) for l in f if l.strip()]
     results = predictor.predict(records)

@@ -30,8 +30,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="MGNNS-TPU HTTP serving")
     p.add_argument("--data_root_path", type=str, default="data")
-    p.add_argument("--checkpoint", type=str, required=True,
+    p.add_argument("--checkpoint", type=str, default=None,
                    help="engine checkpoint dir (with preproc artifacts)")
+    p.add_argument("--from_exported", type=str, default=None,
+                   help="serve a jax.export AOT artifact directory "
+                        "(cli.predict --export_model) instead of an engine "
+                        "checkpoint: no model code or re-trace at startup")
     p.add_argument("--text_only", action="store_true")
     p.add_argument("--pmi_phase", type=str, default="train")
     p.add_argument("--image_backend", type=str, default="pil",
@@ -105,16 +109,28 @@ def make_server(args) -> ThreadingHTTPServer:
     """Build the HTTP server (separated from main() so tests can drive it)."""
     from mgnns_tpu.serving import BatchingFrontend, Predictor
 
-    predictor = Predictor.from_engine_artifacts(
-        args.data_root_path, args.checkpoint, text_only=args.text_only,
-        pmi_phase=args.pmi_phase, image_backend=args.image_backend,
-        image_root=args.image_root, max_batch=args.max_batch,
-        strict_images=False, reference_ckpt=args.init_from_reference,
-    )
+    if args.from_exported:
+        from mgnns_tpu.export import load_exported
+
+        predictor = load_exported(
+            args.from_exported, image_root=args.image_root,
+            image_backend=args.image_backend, strict_images=False)
+        model_name = args.from_exported
+    else:
+        if not args.checkpoint:
+            raise SystemExit(
+                "--checkpoint is required (or pass --from_exported)")
+        predictor = Predictor.from_engine_artifacts(
+            args.data_root_path, args.checkpoint, text_only=args.text_only,
+            pmi_phase=args.pmi_phase, image_backend=args.image_backend,
+            image_root=args.image_root, max_batch=args.max_batch,
+            strict_images=False, reference_ckpt=args.init_from_reference,
+        )
+        model_name = args.checkpoint
     # warm the compiled program so the first request isn't a compile
     predictor.predict([{"text": "warmup"}])
     frontend = BatchingFrontend(predictor, max_queue=args.max_queue)
-    handler = make_handler(frontend, args.checkpoint, predictor.text_only,
+    handler = make_handler(frontend, model_name, predictor.text_only,
                            args.request_timeout)
     server = ThreadingHTTPServer((args.host, args.port), handler)
     server.daemon_threads = True

@@ -196,3 +196,116 @@ def test_http_concurrent_clients_batching(trained_ckpt):
         assert health["latency_ms"]["p99"] >= health["latency_ms"]["p50"] > 0
     finally:
         server.shutdown()
+
+
+# ------------------------------------------------------------- AOT export
+
+
+def test_export_tree_roundtrip():
+    """Pure pytree packaging: nested dict/list mixes survive the
+    path-flattened npz format exactly."""
+    from mgnns_tpu.export import _flatten_with_paths, _unflatten_from_paths
+
+    tree = {
+        "a": {"w": np.arange(6.0).reshape(2, 3), "b": np.zeros(3)},
+        "layers": [
+            {"k": np.ones(2)},
+            {"k": np.full(2, 7.0), "extra": [np.array(1.0), np.array(2.0)]},
+        ],
+        "scalar": np.array(5, np.int32),
+    }
+    paths, leaves = _flatten_with_paths(tree)
+    # JSON round-trip like the artifact does
+    paths = json.loads(json.dumps(paths))
+    rebuilt = _unflatten_from_paths(paths, leaves)
+    flat0, def0 = __import__("jax").tree_util.tree_flatten(tree)
+    flat1, def1 = __import__("jax").tree_util.tree_flatten(rebuilt)
+    assert def0 == def1
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_export_and_load_exported_match(trained_ckpt, tmp_path):
+    """jax.export artifact: identical predictions with no re-trace of the
+    model code, and the artifact is multi-platform (cpu+tpu)."""
+    from mgnns_tpu.export import export_predictor, load_exported
+    from mgnns_tpu.serving import Predictor
+
+    pred = Predictor.from_engine_artifacts(
+        REF, trained_ckpt, text_only=True, pmi_phase="val", max_batch=4)
+    art = tmp_path / "artifact"
+    export_predictor(pred, str(art))
+    assert (art / "model.jaxexport").exists()
+    meta = json.loads((art / "meta.json").read_text())
+    assert meta["platforms"] == ["cpu", "tpu"]
+
+    loaded = load_exported(str(art))
+    records = [{"text": "happy wonderful day full of joy"},
+               {"text": "sad terrible day"},
+               {"text": ""}]
+    out0 = pred.predict(records)
+    out1 = loaded.predict(records)
+    for a, b in zip(out0, out1):
+        assert a["label"] == b["label"]
+        for k in a["probs"]:
+            assert a["probs"][k] == pytest.approx(b["probs"][k], abs=1e-5)
+
+
+def test_exported_artifact_serves_in_fresh_process(trained_ckpt, tmp_path):
+    """The deployment claim, executed: a fresh process loads the artifact
+    and predicts without building the model (no init, no re-trace)."""
+    import subprocess
+    import sys
+
+    from mgnns_tpu.export import export_predictor
+    from mgnns_tpu.serving import Predictor
+
+    pred = Predictor.from_engine_artifacts(
+        REF, trained_ckpt, text_only=True, pmi_phase="val", max_batch=2)
+    art = tmp_path / "artifact"
+    export_predictor(pred, str(art))
+    expected = pred.predict([{"text": "happy wonderful day"}])[0]["label"]
+
+    inp = tmp_path / "in.jsonl"
+    inp.write_text('{"id": "x", "text": "happy wonderful day"}\n')
+    outp = tmp_path / "out.jsonl"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mgnns_tpu.cli.predict",
+         "--from_exported", str(art), "--platform", "cpu",
+         "--input", str(inp), "--output", str(outp)],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    row = json.loads(outp.read_text().strip())
+    assert row["label"] == expected and row["id"] == "x"
+
+
+def test_http_serve_from_exported(trained_ckpt, tmp_path):
+    """cli.serve --from_exported: the HTTP loop runs off the AOT artifact."""
+    import threading
+    import urllib.request
+
+    from mgnns_tpu.cli.serve import build_parser, make_server
+    from mgnns_tpu.export import export_predictor
+    from mgnns_tpu.serving import Predictor
+
+    pred = Predictor.from_engine_artifacts(
+        REF, trained_ckpt, text_only=True, pmi_phase="val", max_batch=4)
+    art = tmp_path / "artifact"
+    export_predictor(pred, str(art))
+
+    args = build_parser().parse_args(["--from_exported", str(art), "--port", "0"])
+    server = make_server(args)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps({"records": [{"id": "a", "text": "happy day"}]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            preds = json.loads(r.read())["predictions"]
+        assert len(preds) == 1 and "label" in preds[0]
+    finally:
+        server.shutdown()
