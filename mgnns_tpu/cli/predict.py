@@ -39,7 +39,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--step", type=int, default=None, help="checkpoint step (default latest)")
     p.add_argument("--platform", default=None)
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="shard prediction batches over this many devices")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="shard the gather tables / wide projections over "
+                        "this many devices (training's model-parallel rules)")
     return p
+
+
+def make_mesh(args):
+    if args.mesh_data * args.mesh_model <= 1:
+        return None
+    if args.from_exported:
+        raise SystemExit(
+            "--mesh_data/--mesh_model need the live model; the exported "
+            "StableHLO artifact is a single-logical-device program")
+    from mgnns_tpu.parallel.mesh import create_mesh
+
+    return create_mesh(args.mesh_data, args.mesh_model)
 
 
 def main(argv=None) -> None:
@@ -67,7 +84,7 @@ def main(argv=None) -> None:
             args.data_root_path, args.checkpoint,
             text_only=args.text_only, pmi_phase=args.pmi_phase,
             image_backend=args.image_backend, image_root=args.image_root,
-            max_batch=args.max_batch, step=args.step,
+            max_batch=args.max_batch, step=args.step, mesh=make_mesh(args),
         )
     if args.export_model:
         from mgnns_tpu.export import export_predictor

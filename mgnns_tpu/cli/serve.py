@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="shard serving batches over this many devices")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="shard gather tables / wide projections over this "
+                        "many devices (training's model-parallel rules)")
     return p
 
 
@@ -120,11 +125,14 @@ def make_server(args) -> ThreadingHTTPServer:
         if not args.checkpoint:
             raise SystemExit(
                 "--checkpoint is required (or pass --from_exported)")
+        from mgnns_tpu.cli.predict import make_mesh
+
         predictor = Predictor.from_engine_artifacts(
             args.data_root_path, args.checkpoint, text_only=args.text_only,
             pmi_phase=args.pmi_phase, image_backend=args.image_backend,
             image_root=args.image_root, max_batch=args.max_batch,
             strict_images=False, reference_ckpt=args.init_from_reference,
+            mesh=make_mesh(args),
         )
         model_name = args.checkpoint
     # warm the compiled program so the first request isn't a compile

@@ -49,6 +49,7 @@ class Predictor:
         max_batch: int = 16,
         text_only: bool = False,
         strict_images: bool = True,
+        mesh=None,
     ):
         self.vocab = vocab
         self.graph = graph
@@ -65,6 +66,25 @@ class Predictor:
         # strict: a missing/corrupt image raises instead of silently
         # substituting the deterministic synthetic fallback pixels
         self.strict_images = strict_images
+        # Multi-device inference: batches shard over the mesh's 'data' axis,
+        # the big gather tables / wide projections shard over 'model' (the
+        # same rules the training engine uses), small params replicate.  XLA
+        # inserts the collectives.  The reference serves nothing at all, let
+        # alone sharded (its DataParallel is commented out, engine/...:365).
+        self.mesh = mesh
+        if mesh is not None:
+            from mgnns_tpu.parallel.sharding import (
+                mgnns_param_rules, shard_pytree, text_model_param_rules)
+
+            dsize = int(mesh.shape.get("data", 1))
+            if max_batch % dsize != 0:
+                raise ValueError(
+                    f"max_batch {max_batch} must be a multiple of the "
+                    f"mesh data axis ({dsize})")
+            rules = (text_model_param_rules() if text_only
+                     else mgnns_param_rules())
+            self.params = shard_pytree(params, mesh, rules)
+            self.batch_stats = shard_pytree(batch_stats, mesh, [])
 
         def fwd(p, bs, batch):
             logits = apply_fn(p, bs, batch)
@@ -127,6 +147,10 @@ class Predictor:
         }
         if not self.text_only:
             batch["image"] = jnp.asarray(self._encode_images(padded))
+        if self.mesh is not None:
+            from mgnns_tpu.parallel.mesh import batch_device_put
+
+            batch = batch_device_put(batch, self.mesh)
         probs = np.asarray(self._fwd(self.params, self.batch_stats, batch))[:n]
         results = []
         for row in probs:
@@ -156,6 +180,7 @@ class Predictor:
         step: int | None = None,
         strict_images: bool = True,
         reference_ckpt: str | None = None,
+        mesh=None,
     ) -> "Predictor":
         """Restore a Predictor from an engine checkpoint.
 
@@ -238,8 +263,18 @@ class Predictor:
                 raw = ckpt.restore(step)
                 params = _conform(tparams, raw["params"])
                 bstats = _conform(tbstats, raw["batch_stats"])
-            object_inp = jax.device_put(consts_np["object_inp"])
-            place_inp = jax.device_put(consts_np["place_inp"])
+            if mesh is not None:
+                # committed-to-one-device constants inside a mesh-sharded
+                # program would pin the computation there — replicate instead
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(mesh, PartitionSpec())
+                object_inp = jax.device_put(consts_np["object_inp"], rep)
+                place_inp = jax.device_put(consts_np["place_inp"], rep)
+                consts = jax.device_put(consts, rep)
+            else:
+                object_inp = jax.device_put(consts_np["object_inp"])
+                place_inp = jax.device_put(consts_np["place_inp"])
 
             def apply_fn(p, bs, batch):
                 full = dict(batch)
@@ -255,7 +290,7 @@ class Predictor:
             apply_fn=apply_fn, params=params, batch_stats=bstats,
             image_size=image_size, image_backend=image_backend,
             image_root=image_root, max_batch=max_batch, text_only=text_only,
-            strict_images=strict_images,
+            strict_images=strict_images, mesh=mesh,
         )
 
 

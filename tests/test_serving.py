@@ -309,3 +309,44 @@ def test_http_serve_from_exported(trained_ckpt, tmp_path):
         assert len(preds) == 1 and "label" in preds[0]
     finally:
         server.shutdown()
+
+
+# ------------------------------------------------------- sharded serving
+
+
+def test_predictor_mesh_sharded_matches_single_device(trained_ckpt):
+    """Mesh-sharded inference (data=4 x model=2 on the virtual 8-CPU mesh):
+    identical predictions to the single-device path, with the vocab table
+    provably sharded over the model axis."""
+    from mgnns_tpu.parallel.mesh import create_mesh
+    from mgnns_tpu.serving import Predictor
+
+    base = Predictor.from_engine_artifacts(
+        REF, trained_ckpt, text_only=True, pmi_phase="val", max_batch=8)
+    mesh = create_mesh(data=4, model=2)
+    sharded = Predictor.from_engine_artifacts(
+        REF, trained_ckpt, text_only=True, pmi_phase="val", max_batch=8,
+        mesh=mesh)
+
+    table = sharded.params["text_gcn"]["node_embedding"]
+    shards = {s.device for s in table.addressable_shards}
+    assert len(shards) == 8  # P('model', None) on a (4,2) mesh -> all devices
+    assert table.sharding.is_fully_replicated is False
+
+    records = [{"text": f"happy sad day number {i}"} for i in range(11)]
+    out0 = base.predict(records)
+    out1 = sharded.predict(records)
+    for a, b in zip(out0, out1):
+        assert a["label"] == b["label"]
+        for k in a["probs"]:
+            assert a["probs"][k] == pytest.approx(b["probs"][k], abs=1e-5)
+
+
+def test_predictor_mesh_batch_divisibility_enforced(trained_ckpt):
+    from mgnns_tpu.parallel.mesh import create_mesh
+    from mgnns_tpu.serving import Predictor
+
+    with pytest.raises(ValueError, match="multiple of the mesh data axis"):
+        Predictor.from_engine_artifacts(
+            REF, trained_ckpt, text_only=True, pmi_phase="val",
+            max_batch=6, mesh=create_mesh(data=4, model=1))

@@ -46,6 +46,12 @@ CONFIGS = {
                           "--epoch_step", "10"],
     "pmi_lr1e-3_seed1": ["--edges_init", "pmi", "--lr", "1e-3",
                          "--seed", "1"],
+    # lr 5e-4 was still climbing at epoch 19 in the first sweep — give it
+    # room (argparse last-wins, so --epochs here overrides BASE's 20)
+    "pmi_lr5e-4_e40": ["--edges_init", "pmi", "--lr", "5e-4",
+                       "--epochs", "40"],
+    "pmi_lr5e-4_drop0.7_e40": ["--edges_init", "pmi", "--lr", "5e-4",
+                               "--dropout", "0.7", "--epochs", "40"],
 }
 
 
