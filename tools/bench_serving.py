@@ -1,0 +1,186 @@
+"""Serving latency/throughput benchmark on the real chip.
+
+Measures the production inference path end to end — raw JSON records
+through preprocessing, the fixed-batch jitted forward, and softmax back to
+host — for both the text-only and fusion models, plus the HTTP micro-
+batching frontend under concurrent clients.  The reference has no serving
+path at all (prediction means running its evaluation engine over a dataset
+on disk), so these numbers are TPU-native capability, not parity.
+
+Protocol per model:
+  * direct: warm the program, then time N sequential predict() calls at
+    batch sizes 1 and max_batch -> p50/p99 latency (ms) + samples/s.
+  * http: boot cli.serve's ThreadingHTTPServer in-process, fire C
+    concurrent clients x R requests (1 record each) -> p50/p99 wall
+    latency + aggregate requests/s (micro-batching coalesces them).
+
+Writes results/r3/serving_bench.json.  One TPU process at a time.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+REF = "/root/reference/data"
+TEXTS = [
+    "what a wonderful happy day full of joy and love",
+    "sad terrible awful news today",
+    "calm quiet evening by the lake",
+    "this makes me so angry honestly",
+]
+
+
+def _records(n, with_image):
+    recs = [{"id": str(i), "text": TEXTS[i % len(TEXTS)]} for i in range(n)]
+    if with_image:
+        for r in recs:
+            r["image"] = f"synthetic_{r['id']}.jpg"
+    return recs
+
+
+def bench_direct(pred, label, n_iters=50):
+    out = {}
+    for bs in (1, pred.max_batch):
+        recs = _records(bs, not pred.text_only)
+        pred.predict(recs)  # warm (compile + cache)
+        lat = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            pred.predict(recs)
+            lat.append(time.perf_counter() - t0)
+        ms = np.array(lat) * 1e3
+        out[f"b{bs}"] = {
+            "p50_ms": round(float(np.percentile(ms, 50)), 2),
+            "p99_ms": round(float(np.percentile(ms, 99)), 2),
+            "samples_per_sec": round(bs / float(np.median(lat)), 1),
+        }
+    print(f"[serve-bench] {label} direct: {out}", flush=True)
+    return out
+
+
+def bench_http(pred, label, clients=8, reqs_per_client=25):
+    from mgnns_tpu.cli.serve import make_handler
+    from mgnns_tpu.serving import BatchingFrontend
+    from http.server import ThreadingHTTPServer
+
+    frontend = BatchingFrontend(pred, max_queue=256)
+    handler = make_handler(frontend, label, pred.text_only, 60.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    lat, errs = [], [0]
+    lock = threading.Lock()
+
+    def client(ci):
+        rec = _records(1, not pred.text_only)[0]
+        body = json.dumps({"records": [rec]}).encode()
+        for _ in range(reqs_per_client):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", data=body,
+                headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    json.loads(r.read())
+                with lock:
+                    lat.append(time.perf_counter() - t0)
+            except Exception:
+                with lock:
+                    errs[0] += 1
+
+    # warm through HTTP once so the first timed request isn't a compile
+    client(-1)
+    lat.clear()
+    t_start = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    server.shutdown()
+    ms = np.array(lat) * 1e3
+    out = {
+        "clients": clients, "requests": len(lat), "errors": errs[0],
+        "p50_ms": round(float(np.percentile(ms, 50)), 2),
+        "p99_ms": round(float(np.percentile(ms, 99)), 2),
+        "requests_per_sec": round(len(lat) / wall, 1),
+    }
+    print(f"[serve-bench] {label} http: {out}", flush=True)
+    return out
+
+
+def train_text_ckpt(tmp):
+    """A quick text checkpoint (protocol of docs/RESULTS.md, 2 epochs)."""
+    from mgnns_tpu.cli.main import main
+    main([
+        "--data_root_path", REF, "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val",
+        "--text_only", "--epochs", "2", "-b", "64", "--limit_samples", "512",
+        "--save_model_path", os.path.join(tmp, "text_ckpt"),
+    ])
+    return os.path.join(tmp, "text_ckpt", "mgnns_tpu")
+
+
+def train_fusion_ckpt(tmp):
+    from mgnns_tpu.cli.main import main
+    main([
+        "--data_root_path", REF, "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val",
+        "--epochs", "1", "-b", "16", "--limit_samples", "64",
+        "--freeze_trunks", "--bn_mode", "frozen", "--fp16",
+        "--image_backend", "synthetic",
+        "--save_model_path", os.path.join(tmp, "fusion_ckpt"),
+    ])
+    return os.path.join(tmp, "fusion_ckpt", "mgnns_tpu")
+
+
+def main():
+    from mgnns_tpu.serving import Predictor
+    from mgnns_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    tmp = "/tmp/serve_bench"
+    os.makedirs(tmp, exist_ok=True)
+    results = {"device": str(__import__("jax").devices()[0])}
+
+    text_ckpt = train_text_ckpt(tmp)
+    pred_t = Predictor.from_engine_artifacts(
+        REF, text_ckpt, text_only=True, pmi_phase="val", max_batch=16)
+    results["text"] = {
+        "direct": bench_direct(pred_t, "text"),
+        "http": bench_http(pred_t, "text"),
+    }
+    del pred_t
+
+    if "--text-only" in sys.argv:  # CPU smoke mode
+        print(json.dumps(results, indent=2))
+        return
+
+    fusion_ckpt = train_fusion_ckpt(tmp)
+    pred_f = Predictor.from_engine_artifacts(
+        REF, fusion_ckpt, pmi_phase="val", max_batch=16,
+        image_backend="synthetic", strict_images=False)
+    results["fusion"] = {
+        "direct": bench_direct(pred_f, "fusion", n_iters=25),
+        "http": bench_http(pred_f, "fusion", clients=8, reqs_per_client=10),
+    }
+
+    outp = os.path.join(ROOT, "results", "r3", "serving_bench.json")
+    with open(outp, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
