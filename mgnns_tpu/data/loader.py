@@ -20,6 +20,7 @@ workers (``engine/...:329-342``).  Design:
 
 from __future__ import annotations
 
+import functools
 import random
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
@@ -36,30 +37,55 @@ def _take_rows(table, idx):
     """Row gather via a 2D-reshaped take.  XLA:TPU lowers the native
     N-d row gather poorly for large rows (measured 27.3 ms for 128 rows of
     448px uint8 pixels); the same gather on a [N, row_bytes] view runs in
-    7.1 ms.  The reshapes are free inside the program."""
+    7.1 ms.
+
+    ONLY for small-row tables: when rows are large the in-program
+    ``table.reshape`` is NOT free — XLA materializes a layout copy of the
+    whole table plus the reshaped view as HLO temps (measured 7.56 G +
+    5.67 G extra for a 5.67 G pixel table — a 3.3x blowup that OOMs the
+    chip).  Big tables must be STORED 2D and gathered with
+    ``_take_rows_flat`` instead."""
     flat = table.reshape(table.shape[0], -1)
     out = jnp.take(flat, idx, axis=0)
     return out.reshape((idx.shape[0],) + table.shape[1:])
 
 
-def _slice_rows_jit(table, start, size: int):
-    return jax.lax.dynamic_slice_in_dim(table, start, size, axis=0)
+@functools.partial(jax.jit, static_argnums=(2,))
+def _take_rows_flat(table2d, idx, row_shape: tuple):
+    """Row gather from a table STORED as [N, row_elems]: no in-program
+    full-table reshape/copy — only the gathered [B, row] batch is reshaped
+    back to its logical [B, *row_shape]."""
+    out = jnp.take(table2d, idx, axis=0)
+    return out.reshape((idx.shape[0],) + row_shape)
 
 
-_slice_rows_jit = jax.jit(_slice_rows_jit, static_argnums=(2,))
+def _slice_rows_jit(table, start, size: int, row_shape):
+    out = jax.lax.dynamic_slice_in_dim(table, start, size, axis=0)
+    if row_shape is not None:
+        out = out.reshape((size,) + row_shape)
+    return out
 
 
-def _slice_rows(table, start: int, size: int):
+_slice_rows_jit = jax.jit(_slice_rows_jit, static_argnums=(2, 3))
+
+
+def _slice_rows(table, start: int, size: int, row_shape: tuple | None = None):
     """Contiguous-range fast path: 2.4 ms for the same 128 rows (11.6x the
     native gather).  Only valid for a full in-bounds ascending run."""
-    return _slice_rows_jit(table, jnp.int32(start), size)
+    return _slice_rows_jit(table, jnp.int32(start), size, row_shape)
 
 
-def _gather_rows(table, idx_np: np.ndarray):
+def _gather_rows(table, idx_np: np.ndarray, row_shape: tuple | None = None):
+    """Batch row gather.  ``row_shape`` set means ``table`` is stored
+    flattened as [N, prod(row_shape)] (the layout that keeps XLA from
+    copying the whole table — see ``_take_rows``); the gathered rows come
+    back as [B, *row_shape] either way."""
     B = len(idx_np)
     if B and idx_np[0] + B - 1 == idx_np[-1] and \
             np.array_equal(idx_np, np.arange(idx_np[0], idx_np[0] + B)):
-        return _slice_rows(table, int(idx_np[0]), B)
+        return _slice_rows(table, int(idx_np[0]), B, row_shape)
+    if row_shape is not None:
+        return _take_rows_flat(table, jnp.asarray(idx_np), row_shape)
     return _take_rows(table, jnp.asarray(idx_np))
 
 
@@ -183,21 +209,29 @@ class DeviceLoader:
         return batch
 
     def _ensure_image_table(self):
-        """Upload the whole split's pixels once as a [N, H, W, 3] device
-        table (runs on the consumer thread — JAX dispatch is not safe from
-        the producer).  The table is cached ON THE DATASET so every loader
-        over the same split (train/val/test ablations) shares one HBM copy."""
+        """Upload the whole split's pixels once as a device table (runs on
+        the consumer thread — JAX dispatch is not safe from the producer).
+        Returns ``(table2d, row_shape)``: the table is stored FLATTENED as
+        uint8 [N, H*W*3] so per-batch gathers never trigger XLA's
+        whole-table layout copy (a 3.3x HBM blowup at 448px, see
+        ``_take_rows``), and the natural 2D layout also avoids the 1.3x
+        tile-padding a [N,H,W,3] u8 array pays on TPU.  Cached ON THE
+        DATASET so every loader over the same split (train/val/test
+        ablations) shares one HBM copy."""
         if self._image_table is None:
-            table = getattr(self.ds, "_device_image_table", None)
-            if table is None:
+            entry = getattr(self.ds, "_device_image_table", None)
+            if entry is None:
                 pool = ThreadPoolExecutor(self.num_threads)
                 try:
                     imgs = list(pool.map(self.ds.load_image, range(len(self.ds))))
                 finally:
                     pool.shutdown(wait=False)
-                table = jax.device_put(np.stack(imgs))
-                self.ds._device_image_table = table
-            self._image_table = table
+                arr = np.stack(imgs)
+                row_shape = arr.shape[1:]
+                entry = (jax.device_put(arr.reshape(arr.shape[0], -1)),
+                         row_shape)
+                self.ds._device_image_table = entry
+            self._image_table = entry
         return self._image_table
 
     def _ensure_text_tables(self):
@@ -229,7 +263,8 @@ class DeviceLoader:
             for k in ("ids", "lens", "mask", "eids"):
                 out[k] = _gather_rows(tabs[k], idx_np)
         if self.device_images:
-            out["image"] = _gather_rows(self._ensure_image_table(), idx_np)
+            table2d, row_shape = self._ensure_image_table()
+            out["image"] = _gather_rows(table2d, idx_np, row_shape)
         return out
 
     def _epoch_chunks(self):
@@ -269,10 +304,11 @@ class DeviceLoader:
             idx[i] = full
             wt[i] = np.arange(B) < n
         tables = dict(self._ensure_text_tables())
+        row_shapes = {}
         if self.device_images:
-            tables["image"] = self._ensure_image_table()
+            tables["image"], row_shapes["image"] = self._ensure_image_table()
         return {"tables": tables, "idx": idx, "weight": wt,
-                "labels": self.ds.labels[idx]}
+                "labels": self.ds.labels[idx], "row_shapes": row_shapes}
 
     def __iter__(self) -> Iterator[dict]:
         """Producer-thread iteration: batch assembly + H2D placement run on a

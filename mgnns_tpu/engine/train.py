@@ -170,31 +170,38 @@ class Engine:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 2))
         self._eval_step = jax.jit(eval_step, donate_argnums=(3,))
         # fused whole-epoch programs (lax.scan over an index matrix into
-        # device-resident tables) are built lazily on first use
-        self._fused_train = None
-        self._fused_eval = None
+        # device-resident tables) are built lazily on first use, keyed by
+        # the plan's flattened-table row shapes
+        self._fused_fns = {}
         self._fused_cache = {}
         self._fused_disabled = False
 
-    def _build_fused(self):
+    def _build_fused(self, row_shapes: dict):
         """One jitted program per EPOCH: ``lax.scan`` over a [num_batches, B]
         sample-index matrix, gathering every batch from device-resident
         tables inside the scan body.  The per-step host dispatch (and its
         round-trip latency — the dominant cost for small steps on a
         network-attached TPU) disappears: a train epoch is ONE device call.
         Mathematically identical to the loop path — the scan body is the
-        same ``train_step``/``eval_step`` function."""
+        same ``train_step``/``eval_step`` function.
+
+        ``row_shapes`` maps table keys that are STORED flattened as
+        [N, row_elems] (big-row tables — see ``data/loader._take_rows``:
+        an in-program full-table reshape is a layout copy that can OOM)
+        to the logical per-row shape to restore after the gather."""
         train_step, eval_step = self._train_step_fn, self._eval_step_fn
 
         def gather(tables, idx, weight):
             # 2D-reshaped row gather: XLA:TPU lowers the native N-d row
             # gather ~4x slower for large rows (27.3 vs 7.1 ms for 128 rows
-            # of 448px uint8); the reshapes are free inside the program
-            batch = {
-                k: jnp.take(v.reshape(v.shape[0], -1), idx, axis=0)
-                     .reshape((idx.shape[0],) + v.shape[1:])
-                for k, v in tables.items()
-            }
+            # of 448px uint8); the small-table reshapes are free inside the
+            # program, and flat-stored tables (row_shapes) skip it entirely
+            batch = {}
+            for k, v in tables.items():
+                flat = v if k in row_shapes else v.reshape(v.shape[0], -1)
+                rows = jnp.take(flat, idx, axis=0)
+                shape = row_shapes.get(k, v.shape[1:])
+                batch[k] = rows.reshape((idx.shape[0],) + tuple(shape))
             batch["weight"] = weight
             return batch
 
@@ -218,10 +225,19 @@ class Engine:
             cm, (losses, preds) = jax.lax.scan(body, cm, (idx_mat, wt_mat))
             return cm, losses, preds
 
-        self._fused_train = jax.jit(fused_train, donate_argnums=(0, 1))
-        self._fused_eval = jax.jit(fused_eval, donate_argnums=(2,))
+        return (jax.jit(fused_train, donate_argnums=(0, 1)),
+                jax.jit(fused_eval, donate_argnums=(2,)))
 
-    def _fused_call(self, name: str, jit_fn, args, out: dict):
+    def _get_fused(self, plan: dict):
+        """(fused_train, fused_eval) jitted pair for this plan's flat-table
+        row shapes (built once per distinct shape map)."""
+        rs = plan.get("row_shapes") or {}
+        key = tuple(sorted((k, tuple(v)) for k, v in rs.items()))
+        if key not in self._fused_fns:
+            self._fused_fns[key] = self._build_fused(dict(rs))
+        return key, self._fused_fns[key]
+
+    def _fused_call(self, name, jit_fn, args, out: dict):
         """AOT-compile the fused epoch program (cached per input signature)
         so compile time is reported separately (``compile_seconds``) instead
         of silently deflating epoch-0 samples/s."""
@@ -266,13 +282,12 @@ class Engine:
             print(f"  [nan-guard] skipped {out['skipped_steps']} non-finite update(s)")
 
     def _train_epoch_fused(self, plan: dict) -> dict | None:
-        if self._fused_train is None:
-            self._build_fused()
+        key, (fused_train, _) = self._get_fused(plan)
         cm = M.confusion_init(self.num_classes)
         pre: dict = {}
         t0 = time.time()
         res = self._fused_call(
-            "train", self._fused_train,
+            ("train", key), fused_train,
             (self.state, cm, plan["tables"], plan["idx"], plan["weight"]), pre)
         if res is None:
             return None  # compile failure; caller falls back to the loop path
@@ -291,13 +306,12 @@ class Engine:
         return out
 
     def _eval_epoch_fused(self, plan: dict, collect_preds: bool) -> dict | None:
-        if self._fused_eval is None:
-            self._build_fused()
+        key, (_, fused_eval) = self._get_fused(plan)
         cm = M.confusion_init(self.num_classes)
         pre: dict = {}
         t0 = time.time()
         res = self._fused_call(
-            "eval", self._fused_eval,
+            ("eval", key), fused_eval,
             (self.state.params, self.state.batch_stats, cm,
              plan["tables"], plan["idx"], plan["weight"]), pre)
         if res is None:

@@ -130,9 +130,10 @@ def test_device_images_matches_per_batch_upload(small_ds):
         assert "image" in b and b["image"].shape == a["image"].shape
         np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
         np.testing.assert_array_equal(np.asarray(a["ids"]), np.asarray(b["ids"]))
-    # the pixel table was uploaded exactly once
+    # the pixel table was uploaded exactly once, stored flattened [N, row]
     assert dev_loader._image_table is not None
-    assert dev_loader._image_table.shape[0] == len(small_ds)
+    table2d, row_shape = dev_loader._image_table
+    assert table2d.shape == (len(small_ds), int(np.prod(row_shape)))
 
 
 def test_device_images_rejects_nondeterministic_pixels(text_side, tmp_path):

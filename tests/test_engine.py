@@ -262,7 +262,6 @@ def test_fused_compile_failure_falls_back_to_loop(monkeypatch):
     execution — once, permanently, without corrupting state."""
     engine, loader = _fused_fixture()
     eng = engine()
-    eng._build_fused()
 
     class _BoomLowered:
         def compile(self):
@@ -272,10 +271,8 @@ def test_fused_compile_failure_falls_back_to_loop(monkeypatch):
         def lower(self, *a, **k):
             return _BoomLowered()
 
-    eng._fused_train = _BoomJit()
-    eng._fused_eval = _BoomJit()
-    # prevent rebuild from replacing the broken stubs
-    monkeypatch.setattr(eng, "_build_fused", lambda: None)
+    monkeypatch.setattr(eng, "_get_fused",
+                        lambda plan: ((), (_BoomJit(), _BoomJit())))
     ld = loader(device_text=True)
     out = eng.train_epoch(ld)
     assert out.get("fused") is None and out["skipped_steps"] == 0

@@ -350,3 +350,39 @@ def test_predictor_mesh_batch_divisibility_enforced(trained_ckpt):
         Predictor.from_engine_artifacts(
             REF, trained_ckpt, text_only=True, pmi_phase="val",
             max_batch=6, mesh=create_mesh(data=4, model=1))
+
+
+@pytest.mark.slow
+def test_export_fusion_model_roundtrip(tmp_path):
+    """AOT export of the FULL fusion model (tiny 64px images, CPU): the
+    graph constants (GloVe inputs, adjacencies, label embeddings) bake into
+    the StableHLO; predictions match the live model exactly."""
+    from mgnns_tpu.cli.main import main
+    from mgnns_tpu.export import export_predictor, load_exported
+    from mgnns_tpu.serving import Predictor
+
+    main([
+        "--data_root_path", REF, "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val",
+        "--epochs", "1", "-b", "4", "--limit_samples", "8",
+        "--image-size", "64", "--bn_mode", "frozen", "--freeze_trunks",
+        "--image_backend", "synthetic",
+        "--save_model_path", str(tmp_path / "ckpt"),
+    ])
+    pred = Predictor.from_engine_artifacts(
+        REF, str(tmp_path / "ckpt" / "mgnns_tpu"),
+        model_overrides={"image_size": 64}, pmi_phase="val", max_batch=2,
+        image_backend="synthetic", strict_images=False)
+    art = tmp_path / "artifact"
+    export_predictor(pred, str(art))
+
+    loaded = load_exported(str(art), image_backend="synthetic",
+                           strict_images=False)
+    records = [{"id": "a", "text": "happy wonderful day"},
+               {"id": "b", "text": "sad terrible day"}]
+    out0 = pred.predict(records)
+    out1 = loaded.predict(records)
+    for a, b in zip(out0, out1):
+        assert a["label"] == b["label"]
+        for k in a["probs"]:
+            assert a["probs"][k] == pytest.approx(b["probs"][k], abs=1e-5)

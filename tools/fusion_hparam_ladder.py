@@ -38,6 +38,11 @@ CONFIGS = {
     "lr1e-4_stack1": ["--lr", "1e-4", "--stack_num", "1"],
     "lr1e-4_b32": ["--lr", "1e-4", "-b", "32"],
     "lr1e-4_seed1": ["--lr", "1e-4", "--seed", "1"],
+    # dropout 0.7 was the text-channel ladder's winner — try it on fusion
+    # at both LRs (argparse last-wins on repeated flags)
+    "lr5e-5_drop0.7": ["--lr", "5e-5", "--dropout", "0.7"],
+    "lr1e-4_drop0.7_e20": ["--lr", "1e-4", "--dropout", "0.7",
+                           "--epochs", "20"],
 }
 
 
