@@ -256,6 +256,68 @@ def test_fused_epoch_shuffled_and_forced_length():
     assert loader().epoch_plan() is None
 
 
+def test_fused_epoch_with_flat_image_table_matches_loop():
+    """device_images stores pixels FLATTENED as [N, H*W*3] (avoiding XLA's
+    whole-table layout copy — see data/loader._take_rows); the fused-epoch
+    gather must restore the logical [B, H, W, 3] rows via the plan's
+    row_shapes and match the per-batch loop path exactly."""
+    engine, loader = _fused_fixture()
+
+    H = W = 4
+
+    class _ImgDS(_FakeTextDS):
+        def load_image(self, i, rng=None):
+            base = np.full((H, W, 3), i % 7, np.uint8)
+            base[0, 0, 0] = i  # row identity: gather order is checkable
+            return base
+
+    def imgloader(**kw):
+        from mgnns_tpu.data.loader import DeviceLoader
+
+        base = loader()  # reuse the text fixture's dataset
+        ds = _ImgDS(base.ds.text.ids, base.ds.text.lens, base.ds.text.mask,
+                    base.ds.text.eids, base.ds.labels)
+        return DeviceLoader(ds, 3, with_images=True, **kw)
+
+    def imgengine():
+        base = engine()  # only for its init params / config
+
+        def apply_fn(p, bs, batch, *, train, rng):
+            img = batch["image"]
+            assert img.shape[1:] == (H, W, 3)  # logical shape restored
+            logits, bs = base.apply_fn(p, bs, batch, train=train, rng=rng)
+            # fold a per-sample image statistic in so pixels affect loss,
+            # preds, and gradients — gather bugs can't hide
+            bump = jnp.mean(img.astype(jnp.float32), axis=(1, 2, 3)) / 255.0
+            return logits + bump[:, None], bs
+
+        return Engine(apply_fn, base.state.params, {}, num_classes=2,
+                      lr=5e-2, steps_per_epoch=2, epoch_step=(1000,))
+
+    fused_ld = imgloader(device_text=True, device_images=True)
+    loop_ld = imgloader()
+    plan = fused_ld.epoch_plan()
+    assert plan is not None and "image" in plan["row_shapes"]
+    assert plan["tables"]["image"].ndim == 2  # stored flat
+    assert tuple(plan["row_shapes"]["image"]) == (H, W, 3)
+
+    fused_eng, loop_eng = imgengine(), imgengine()
+    tr_fused = fused_eng.train_epoch(fused_ld)
+    tr_loop = loop_eng.train_epoch(loop_ld)
+    assert tr_fused.get("fused") is True and "fused" not in tr_loop
+    assert tr_fused["loss"] == pytest.approx(tr_loop["loss"], rel=1e-5)
+    assert tr_fused["accuracy"] == tr_loop["accuracy"]
+    for a, b in zip(jax.tree_util.tree_leaves(fused_eng.state.params),
+                    jax.tree_util.tree_leaves(loop_eng.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    ev_fused = fused_eng.eval_epoch(fused_ld, collect_preds=True)
+    ev_loop = loop_eng.eval_epoch(loop_ld, collect_preds=True)
+    assert ev_fused.get("fused") is True
+    np.testing.assert_array_equal(ev_fused["preds"], ev_loop["preds"])
+    np.testing.assert_array_equal(ev_fused["confusion"], ev_loop["confusion"])
+
+
 def test_fused_compile_failure_falls_back_to_loop(monkeypatch):
     """If the fused whole-epoch program fails to compile (e.g. tables +
     step workspace exceed HBM), the engine must fall back to per-batch
