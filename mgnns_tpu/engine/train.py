@@ -496,7 +496,7 @@ class Engine:
 
         keep = ("loss", "accuracy", "micro_f1", "macro_f1", "weighted_f1",
                 "samples_per_sec", "steady_samples_per_sec", "epoch_seconds",
-                "compile_seconds", "skipped_steps")
+                "compile_seconds", "skipped_steps", "fused")
         row = {
             "ts": time.time(),
             "epoch": epoch,

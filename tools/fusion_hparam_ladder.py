@@ -5,15 +5,20 @@ Same protocol as docs/RESULTS.md's fusion rows: train on the val split
 report on the unseen test split, synthetic pixels (no image dump ships),
 random-init embeddings (no GloVe ships) — floors, not ceilings.
 
-`--freeze_trunks` training runs ~490 samples/s at b=16 on this chip, so a
-10-epoch fusion run is ~6 minutes — a grid of 6 configs is an hour of
-unattended TPU time.  One TPU process at a time (sequential).
+Per-epoch checkpoint selection uses a fixed 2,560-sample heldout subset
+(`--val_limit`; a prefix of the test split, so selection stays train-free)
+whose pixel table fits HBM next to the train table — per-epoch eval is then
+seconds instead of the ~10 minutes a full 10k per-batch-upload eval costs on
+this tunnel rig.  The reported numbers are the engine's FINAL full-test-split
+eval of the best-val checkpoint (parsed from the run's stdout).  One TPU
+process at a time (sequential).
 
 Writes results/r3/fusion_ladder.json.
 """
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -24,6 +29,7 @@ BASE = [
     "--data_root_path", "/root/reference/data",
     "--pmi_phase", "val", "--train_phase", "val",
     "--val_phase", "test", "--test_phase", "test",
+    "--val_limit", "2560", "--device_images_budget_gb", "8.0", "-e",
     "--freeze_trunks", "--bn_mode", "frozen", "--fp16", "--use_pallas",
     "--device_images", "--device_text",
     "--epochs", "10", "--epoch_step", "30",
@@ -56,15 +62,27 @@ def run_one(name, extra):
         "--save_model_path", f"/tmp/fladder_ckpt_{name}",
     ]
     proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
-                          timeout=3600)
+                          timeout=5400)
     rec = {"config": name, "flags": " ".join(extra), "ok": False}
     try:
         rows = [json.loads(l) for l in open(metrics)]
         best = max(rows, key=lambda r: r["val"]["accuracy"])
-        rec.update(ok=True, best_epoch=best["epoch"],
-                   heldout_acc=round(best["val"]["accuracy"], 4),
-                   heldout_macro_f1=round(best["val"]["macro_f1"], 4),
-                   train_sps=round(rows[-1]["train"]["samples_per_sec"], 1))
+        rec.update(best_epoch=best["epoch"],
+                   select_acc=round(best["val"]["accuracy"], 4),
+                   train_sps=round(rows[-1]["train"]["samples_per_sec"], 1),
+                   train_fused=bool(rows[-1]["train"].get("fused")))
+        # full-test-split metrics of the best-val checkpoint (engine's final
+        # test pass, printed as "test: acc A micro I macro M weighted W")
+        m = re.search(r"test: acc ([\d.]+) micro ([\d.]+) macro ([\d.]+) "
+                      r"weighted ([\d.]+)", proc.stdout or "")
+        if m:
+            rec.update(ok=True, test_acc=float(m.group(1)),
+                       test_micro_f1=float(m.group(2)),
+                       test_macro_f1=float(m.group(3)),
+                       test_weighted_f1=float(m.group(4)))
+        else:
+            rec["error"] = ("no final test line; stdout tail: "
+                            + (proc.stdout or "")[-300:])
     except (OSError, json.JSONDecodeError, ValueError) as e:
         rec["error"] = f"{e}; stderr tail: {(proc.stderr or '')[-300:]}"
     return rec
@@ -75,9 +93,9 @@ def main():
     for name, extra in CONFIGS.items():
         print(f"[fladder] {name}", flush=True)
         rec = run_one(name, extra)
-        print(f"[fladder]   -> {rec.get('heldout_acc', 'FAILED')} "
-              f"(mf1 {rec.get('heldout_macro_f1', '-')}, e{rec.get('best_epoch', '-')})",
-              flush=True)
+        print(f"[fladder]   -> test {rec.get('test_acc', 'FAILED')} "
+              f"(mf1 {rec.get('test_macro_f1', '-')}, e{rec.get('best_epoch', '-')}, "
+              f"fused={rec.get('train_fused', '-')})", flush=True)
         results.append(rec)
     outp = os.path.join(ROOT, "results", "r3", "fusion_ladder.json")
     with open(outp, "w") as f:
