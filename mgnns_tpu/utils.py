@@ -7,6 +7,21 @@ import os
 import time
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature set (the flags lines of
+    ``/proc/cpuinfo``; the machine name elsewhere)."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            feats = sorted({l.strip() for l in f if l.startswith(("flags", "Features"))})
+        blob = "\n".join(feats) or platform.machine()
+    except OSError:
+        blob = f"{platform.machine()}-{platform.processor()}"
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache across processes.
 
@@ -18,11 +33,15 @@ def enable_compilation_cache(path: str | None = None) -> None:
     cache_dir = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/mgnns_jax_cache")
     )
-    # Key by platform: XLA:CPU AOT entries record host CPU features and
-    # reloading them across processes with differing feature detection warns
-    # about potential SIGILL.
+    # Key by platform AND a host-CPU fingerprint: XLA:CPU AOT entries bake in
+    # the compile machine's CPU features, and the loader does NOT reject a
+    # mismatch — it logs "could lead to execution errors such as SIGILL" and
+    # then actually SIGILLs (observed: a cache populated on a wider-AVX512
+    # host crashed this one).  A per-host cache directory makes a moved
+    # checkout recompile cold instead of crashing.
     try:
-        cache_dir = os.path.join(cache_dir, jax.default_backend())
+        cache_dir = os.path.join(
+            cache_dir, f"{jax.default_backend()}-{_host_cpu_fingerprint()}")
     except Exception:
         pass
     os.makedirs(cache_dir, exist_ok=True)
