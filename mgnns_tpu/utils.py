@@ -40,8 +40,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
     # host crashed this one).  A per-host cache directory makes a moved
     # checkout recompile cold instead of crashing.
     try:
-        cache_dir = os.path.join(
-            cache_dir, f"{jax.default_backend()}-{_host_cpu_fingerprint()}")
+        backend = jax.default_backend()
+        # TPU/GPU programs execute on the accelerator — host CPU features
+        # don't matter, and re-keying would throw away their warm caches.
+        sub = f"cpu-{_host_cpu_fingerprint()}" if backend == "cpu" else backend
+        cache_dir = os.path.join(cache_dir, sub)
     except Exception:
         pass
     os.makedirs(cache_dir, exist_ok=True)
