@@ -88,19 +88,30 @@ def run_one(name, extra):
     return rec
 
 
+OUTP = os.path.join(ROOT, "results", "r3", "fusion_ladder.json")
+
+
 def main():
-    results = []
+    # Resumable: each config's record is merged into the output JSON as soon
+    # as it finishes (a killed run loses at most the in-flight config), and
+    # configs already recorded with ok=true are skipped on restart.
+    done = {}
+    if os.path.exists(OUTP):
+        with open(OUTP) as f:
+            done = {r["config"]: r for r in json.load(f)}
     for name, extra in CONFIGS.items():
+        if done.get(name, {}).get("ok"):
+            print(f"[fladder] {name} (cached)", flush=True)
+            continue
         print(f"[fladder] {name}", flush=True)
         rec = run_one(name, extra)
         print(f"[fladder]   -> test {rec.get('test_acc', 'FAILED')} "
               f"(mf1 {rec.get('test_macro_f1', '-')}, e{rec.get('best_epoch', '-')}, "
               f"fused={rec.get('train_fused', '-')})", flush=True)
-        results.append(rec)
-    outp = os.path.join(ROOT, "results", "r3", "fusion_ladder.json")
-    with open(outp, "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results, indent=2))
+        done[name] = rec
+        with open(OUTP, "w") as f:
+            json.dump([done[n] for n in CONFIGS if n in done], f, indent=2)
+    print(json.dumps([done[n] for n in CONFIGS if n in done], indent=2))
 
 
 if __name__ == "__main__":
