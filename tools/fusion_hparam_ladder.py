@@ -49,6 +49,12 @@ CONFIGS = {
     "lr5e-5_drop0.7": ["--lr", "5e-5", "--dropout", "0.7"],
     "lr1e-4_drop0.7_e20": ["--lr", "1e-4", "--dropout", "0.7",
                            "--epochs", "20"],
+    # round-3 extension: cheap LR/seed probes around the plateau (every
+    # config above lands ~0.555±0.003 — the image channels carry no signal
+    # with synthetic pixels, so fusion tracks the text channel plus noise)
+    "lr2e-4": ["--lr", "2e-4"],
+    "lr1e-4_seed2": ["--lr", "1e-4", "--seed", "2"],
+    "lr5e-5_seed1": ["--lr", "5e-5", "--seed", "1"],
 }
 
 
