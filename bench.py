@@ -11,15 +11,17 @@ Modes (env MGNNS_BENCH_MODE), matching BASELINE.json's config ladder:
 What is measured (full mode): the jitted full fusion forward (text-GCN +
 BiLSTM + ResNet-101 + Places-ResNet-50 + image GCNs + label attention +
 4-way cross-modal fusion) on real TumEmo val text at the reference's
-canonical image size 448, bf16 compute.  Three numbers:
-  value                        device-cached batches (chip-side ceiling);
-  value_live_pipeline          the production path: device-resident pixel
-                               AND text tables (--device_images /
+canonical image size 448, bf16 compute.  The HEADLINE ``value`` is the
+honest end-to-end production path, not the device-cached ceiling:
+  value                        live pipeline: device-resident pixel AND
+                               text tables (--device_images /
                                --device_text) with the engine's fused
                                whole-epoch lax.scan (falls back to the
                                streaming loader if the fused program does
                                not fit HBM; live_pipeline_fused reports
                                which ran);
+  value_device_cached          device-cached batches (chip-side ceiling,
+                               diagnostic);
   value_live_streaming         same tables through the per-batch streaming
                                loader (one index H2D + eager gathers/step);
   value_live_per_batch_upload  worst case: full pixels re-shipped per batch
@@ -261,15 +263,17 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)["reference_cpu_samples_per_sec"]
-        vs = sps / base
+        vs = sps_live / base
 
+    # headline = the live production path (round-2 review: lead with the
+    # honest end-to-end number, keep the cached ceiling as a diagnostic)
     print(json.dumps({
         "metric": "mgnns_eval_samples_per_sec_per_chip",
-        "value": round(sps, 2),
+        "value": round(sps_live, 2),
         "unit": "samples/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-        "value_live_pipeline": round(sps_live, 2),
         "live_pipeline_fused": live_fused,
+        "value_device_cached": round(sps, 2),
         "value_live_streaming": round(sps_stream, 2),
         "value_live_per_batch_upload": round(sps_upload, 2),
     }))

@@ -182,9 +182,42 @@ class DeviceLoader:
     def __len__(self) -> int:
         return self.num_batches
 
+    def _all_padding_batch(self) -> dict:
+        """A fully-padded batch for a loader whose dataset slice is EMPTY.
+
+        Multihost forces the same per-epoch step count on every host
+        (``num_batches``), and a host whose contiguous sample range came up
+        empty (global N < process_count) must still feed the global SPMD
+        program batches of the right static shape.  Shapes come from the
+        dataset's metadata (``max_len``/window width are global config, so
+        they match the other hosts); ``lens`` is 1 — a PAD-only doc, the
+        same shape real tail-padding produces — so the compute stays finite
+        and, with ``weight`` all zero, contributes nothing to loss/metrics."""
+        B = self.batch_size
+        t = self.ds.text
+        lens = np.ones((B,), np.int32)
+        batch = {
+            "label": np.zeros((B,), np.int32),
+            "weight": np.zeros((B,), np.float32),
+            "sample_index": np.zeros((B,), np.int32),
+        }
+        if not self.device_text:
+            L, W = t.ids.shape[1], t.eids.shape[2]
+            batch["ids"] = np.zeros((B, L), np.int32)
+            batch["lens"] = lens
+            batch["mask"] = (np.arange(L)[None, :] < lens[:, None]).astype(np.float32)
+            batch["eids"] = np.zeros((B, L, W), np.int32)
+        if self.with_images and not self.device_images:
+            s = self.ds.image_size
+            dt = np.uint8 if getattr(self.ds, "pixel_format", "uint8") == "uint8" else np.float32
+            batch["image"] = np.zeros((B, s, s, 3), dt)
+        return batch
+
     def _assemble(self, idx: np.ndarray, pool: ThreadPoolExecutor | None, rng: random.Random,
                   n_valid: int | None = None):
         B = self.batch_size
+        if len(idx) == 0:
+            return self._all_padding_batch()
         n = len(idx) if n_valid is None else n_valid
         pad = B - len(idx)
         full_idx = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx

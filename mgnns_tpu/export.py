@@ -151,8 +151,13 @@ def export_predictor(pred: Predictor, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     batch = _example_batch(pred)
     args = (pred.params, pred.batch_stats, batch)
+    # read shape/dtype attributes directly — np.asarray on a jax.Array leaf
+    # would D2H-copy every parameter (hundreds of MB of trunk weights) just
+    # to inspect its dtype
     abstract = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), args)
+        lambda a: jax.ShapeDtypeStruct(
+            np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype),
+        args)
     exported = jax.export.export(
         pred._fwd, platforms=tuple(platforms))(*abstract)
     with open(os.path.join(out_dir, EXPORT_FILE), "wb") as f:

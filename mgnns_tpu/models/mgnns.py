@@ -201,8 +201,14 @@ def _image_channel(
             unroll=cfg.unroll_trunks,
             block_remat=cfg.remat_policy == "block")
 
-    if cfg.remat_trunks or cfg.remat_policy == "trunk":
-        # rematerialize trunk activations in the backward pass (HBM for FLOPs)
+    if ((cfg.remat_trunks or cfg.remat_policy == "trunk")
+            and cfg.remat_policy != "block"):
+        # rematerialize trunk activations in the backward pass (HBM for
+        # FLOPs).  Skipped under the per-block policy: wrapping the
+        # already-block-remat'd trunk in a second whole-trunk checkpoint
+        # would recompute each block inside a full-trunk recompute —
+        # strictly slower than either policy alone ('block' wins when both
+        # are requested, e.g. --remat_trunks --remat_policy block).
         trunk_fn = jax.checkpoint(trunk_fn)
     feats, new_state = trunk_fn(trunk_params, trunk_state, image)
     if cfg.freeze_trunks:

@@ -349,6 +349,11 @@ class BatchingFrontend:
 
         while True:
             first = self._q.get()
+            # drop requests whose client already timed out (``abandoned``):
+            # computing answers nobody reads under overload is the
+            # positive-feedback loop that keeps the queue saturated
+            if first[1].get("abandoned"):
+                continue
             group = [first]
             n = len(first[0])
             # coalesce whatever is already waiting, up to one device batch
@@ -357,6 +362,8 @@ class BatchingFrontend:
                     nxt = self._q.get_nowait()
                 except queue.Empty:
                     break
+                if nxt[1].get("abandoned"):
+                    continue
                 group.append(nxt)
                 n += len(nxt[0])
             all_records = [r for recs, _, _ in group for r in recs]

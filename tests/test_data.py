@@ -321,3 +321,27 @@ def test_gather_rows_fast_paths_match_naive():
     for idx in cases:
         got = np.asarray(_gather_rows(dtab, idx))
         np.testing.assert_array_equal(got, table[idx], err_msg=str(idx))
+
+
+def test_empty_host_slice_yields_padding_batches(text_side, small_ds):
+    """A multihost process whose contiguous sample range came up empty
+    (global N < process_count) must still emit ``num_batches`` fully-padded
+    batches with the SAME static shapes/dtypes as data-carrying hosts, or
+    the global SPMD program diverges across hosts (regression: forced-length
+    chunks were built from ``order[-1:]`` of an EMPTY index array, producing
+    zero-leading-dim batches)."""
+    cfg, vocab, graph = text_side
+    empty = TumblrDataset(small_ds.cfg, cfg, "val", vocab, graph,
+                          image_size=32, records=[])
+    assert len(empty) == 0
+    loader = DeviceLoader(empty, batch_size=4, shuffle=False, num_batches=2)
+    ref_batch = next(iter(DeviceLoader(small_ds, batch_size=4, shuffle=False)))
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert set(b) == set(ref_batch)
+        for k in b:
+            assert np.shape(b[k]) == np.shape(ref_batch[k]), k
+            assert np.asarray(b[k]).dtype == np.asarray(ref_batch[k]).dtype, k
+        assert np.asarray(b["weight"]).sum() == 0
+        assert (np.asarray(b["lens"]) >= 1).all()

@@ -386,3 +386,48 @@ def test_export_fusion_model_roundtrip(tmp_path):
         assert a["label"] == b["label"]
         for k in a["probs"]:
             assert a["probs"][k] == pytest.approx(b["probs"][k], abs=1e-5)
+
+
+def test_batching_frontend_drops_abandoned_requests():
+    """Requests whose client already timed out must NOT be predicted: under
+    sustained overload the worker would otherwise burn the device computing
+    answers nobody reads, keeping the queue saturated (regression: submit()
+    set the 'abandoned' flag but the worker never checked it)."""
+    import threading
+    import time
+
+    from mgnns_tpu.serving import BatchingFrontend
+
+    release = threading.Event()
+    calls = []
+
+    class SlowPredictor:
+        max_batch = 8
+        text_only = True
+
+        def predict(self, records):
+            calls.append([r["id"] for r in records])
+            if records[0]["id"] == "A":
+                release.wait(10)
+            return [{"id": r["id"]} for r in records]
+
+    fe = BatchingFrontend(SlowPredictor(), max_queue=4)
+    # A occupies the worker; B times out while queued; C runs after
+    result_a = {}
+    ta = threading.Thread(
+        target=lambda: result_a.update(out=fe.submit([{"id": "A"}], timeout=15)))
+    ta.start()
+    for _ in range(500):  # until the worker picked A up
+        if calls:
+            break
+        time.sleep(0.01)
+    assert calls and calls[0] == ["A"]
+    with pytest.raises(TimeoutError):
+        fe.submit([{"id": "B"}], timeout=0.05)
+    release.set()
+    ta.join(15)
+    assert result_a["out"] == [{"id": "A"}]
+    out = fe.submit([{"id": "C"}], timeout=15)
+    assert out == [{"id": "C"}]
+    # B was abandoned before the worker reached it: never predicted
+    assert all("B" not in c for c in calls)

@@ -98,9 +98,12 @@ def bench_http(pred, label, clients=8, reqs_per_client=25):
                 with lock:
                     errs[0] += 1
 
-    # warm through HTTP once so the first timed request isn't a compile
+    # warm through HTTP once so the first timed request isn't a compile;
+    # drop warmup latencies AND warmup errors (a compile-slow first request
+    # timing out is a warmup artifact, not a steady-state serving error)
     client(-1)
     lat.clear()
+    errs[0] = 0
     t_start = time.perf_counter()
     threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
     for t in threads:

@@ -67,9 +67,13 @@ def run_one(name, extra):
         "--model_name", f"fladder_{name}",
         "--save_model_path", f"/tmp/fladder_ckpt_{name}",
     ]
-    proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
-                          timeout=5400)
     rec = {"config": name, "flags": " ".join(extra), "ok": False}
+    try:
+        proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
+                              timeout=5400)
+    except subprocess.TimeoutExpired:
+        rec["error"] = "timeout (5400s)"
+        return rec
     try:
         rows = [json.loads(l) for l in open(metrics)]
         best = max(rows, key=lambda r: r["val"]["accuracy"])

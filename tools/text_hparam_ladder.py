@@ -64,9 +64,13 @@ def run_one(name, extra):
         "--model_name", f"ladder_{name}",
         "--save_model_path", f"/tmp/ladder_ckpt_{name}",
     ]
-    proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
-                          timeout=2400)
     rec = {"config": name, "flags": " ".join(extra), "ok": False}
+    try:
+        proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
+                              timeout=2400)
+    except subprocess.TimeoutExpired:
+        rec["error"] = "timeout (2400s)"
+        return rec
     try:
         rows = [json.loads(l) for l in open(metrics)]
         best = max(rows, key=lambda r: r["val"]["accuracy"])
@@ -79,19 +83,30 @@ def run_one(name, extra):
     return rec
 
 
+OUTP = os.path.join(ROOT, "results", "r3", "text_ladder.json")
+
+
 def main():
-    results = []
+    # Resumable like the fusion ladder: merge each config's record into the
+    # output JSON as soon as it finishes (a killed run loses at most the
+    # in-flight config); configs already recorded ok are skipped on restart.
+    done = {}
+    if os.path.exists(OUTP):
+        with open(OUTP) as f:
+            done = {r["config"]: r for r in json.load(f)}
     for name, extra in CONFIGS.items():
+        if done.get(name, {}).get("ok"):
+            print(f"[ladder] {name} (cached)", flush=True)
+            continue
         print(f"[ladder] {name}", flush=True)
         rec = run_one(name, extra)
         print(f"[ladder]   -> {rec.get('heldout_acc', 'FAILED')} "
               f"(mf1 {rec.get('heldout_macro_f1', '-')}, e{rec.get('best_epoch', '-')})",
               flush=True)
-        results.append(rec)
-    outp = os.path.join(ROOT, "results", "r3", "text_ladder.json")
-    with open(outp, "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results, indent=2))
+        done[name] = rec
+        with open(OUTP, "w") as f:
+            json.dump([done[n] for n in CONFIGS if n in done], f, indent=2)
+    print(json.dumps([done[n] for n in CONFIGS if n in done], indent=2))
 
 
 if __name__ == "__main__":
