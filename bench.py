@@ -42,6 +42,8 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
+from tools._bench_util import flagship_data, flagship_model
+
 
 def main():
     import jax
@@ -51,34 +53,15 @@ def main():
 
     enable_compilation_cache()
 
-    from mgnns_tpu.config import DataConfig, ModelConfig, TextGraphConfig
-    from mgnns_tpu.data.dataset import TumblrDataset, load_constants
     from mgnns_tpu.data.loader import DeviceLoader
-    from mgnns_tpu.data.text import build_text_side, read_anno
-    from mgnns_tpu.models import mgnns_apply
-    from mgnns_tpu.models.mgnns import mgnns_init_jitted
 
-    ref = os.environ.get("MGNNS_DATA", "/root/reference/data")
     mode = os.environ.get("MGNNS_BENCH_MODE", "full")
     batch_size = int(os.environ.get(
         "MGNNS_BENCH_BATCH", {"full": "128", "text": "64", "train": "16"}.get(mode, "128")))
     n_samples = int(os.environ.get("MGNNS_BENCH_SAMPLES", "512"))
 
-    graph_cfg = TextGraphConfig()
-    data_cfg = DataConfig(
-        data_root_path=ref,
-        object_inp_name=f"{ref}/glove/object_glove_word2vec.pkl",
-        place_inp_name=f"{ref}/glove/place_glove_word2vec.pkl",
-        label_glove_name=f"{ref}/tumblr_label_glove.pkl",
-        object_adj_file=f"{ref}/adj/tumblr_objects_adj.pkl",
-        place_adj_file=f"{ref}/adj/tumblr_resnet50_places_adj.pkl",
-        image_backend="synthetic",
-    )
-    vocab, graph, _ = build_text_side(ref, graph_cfg, [], pmi_phase="val")
-    records = read_anno(ref, "val")[:n_samples]
-    ds = TumblrDataset(data_cfg, graph_cfg, "val", vocab, graph,
-                       image_size=448, records=records)
-    consts_np = load_constants(data_cfg, object_t=0.4, place_t=0.3)
+    data = flagship_data(n_records=n_samples)
+    vocab, graph, ds = data.vocab, data.graph, data.ds
 
     if mode == "text":
         import jax.numpy as jnp
@@ -118,27 +101,17 @@ def main():
     # unrolled block scans; MGNNS_BENCH_FREEZE_TRUNKS=1 for the
     # feature-extraction mode)
     bn_mode = os.environ.get("MGNNS_BENCH_BN", "frozen" if mode == "train" else "batch")
-    cfg = ModelConfig(vocab_size=len(vocab), edges_num=graph.num_edges,
-                      compute_dtype="bfloat16", bn_mode=bn_mode,
-                      unroll_trunks=(mode == "train" and
-                                     os.environ.get("MGNNS_BENCH_UNROLL", "1") == "1"),
-                      remat_policy=os.environ.get("MGNNS_BENCH_REMAT", "none"),
-                      freeze_trunks=os.environ.get("MGNNS_BENCH_FREEZE_TRUNKS") == "1")
-    params, bstats, consts = mgnns_init_jitted(
-        jax.random.key(0), cfg, num_edges=graph.num_edges,
-        label_embedding=consts_np["label_embedding"],
-        object_A=consts_np["object_A"], place_A=consts_np["place_A"],
-    )
-    object_inp = jax.device_put(consts_np["object_inp"])
-    place_inp = jax.device_put(consts_np["place_inp"])
+    model = flagship_model(
+        data, bn_mode=bn_mode,
+        unroll_trunks=(mode == "train" and
+                       os.environ.get("MGNNS_BENCH_UNROLL", "1") == "1"),
+        remat_policy=os.environ.get("MGNNS_BENCH_REMAT", "none"),
+        freeze_trunks=os.environ.get("MGNNS_BENCH_FREEZE_TRUNKS") == "1")
+    cfg, params, bstats = model.cfg, model.params, model.bstats
 
     @jax.jit
     def eval_step(p, bs, batch):
-        full = dict(batch)
-        full["object_inp"] = object_inp
-        full["place_inp"] = place_inp
-        logits, _, _ = mgnns_apply(p, bs, consts, full, cfg=cfg, train=False,
-                                   use_pallas=True)
+        logits, _ = model.apply_fn(p, bs, batch, train=False, rng=None)
         return jax.numpy.argmax(logits, axis=-1)
 
     # The eval set is static: the loader keeps its device-resident batches
@@ -162,16 +135,8 @@ def main():
         from mgnns_tpu.engine import metrics as M
         from mgnns_tpu.engine.train import Engine
 
-        def apply_fn(p, bs, batch, *, train, rng):
-            full = dict(batch)
-            full["object_inp"] = object_inp
-            full["place_inp"] = place_inp
-            logits, new_bs, _ = mgnns_apply(p, bs, consts, full, cfg=cfg,
-                                            train=train, rng=rng, use_pallas=True)
-            return logits, new_bs
-
-        eng = Engine(apply_fn, params, bstats, num_classes=7, steps_per_epoch=1,
-                     freeze_trunks=cfg.freeze_trunks)
+        eng = Engine(model.apply_fn, params, bstats, num_classes=7,
+                     steps_per_epoch=1, freeze_trunks=cfg.freeze_trunks)
         batch = next(iter(DeviceLoader(ds, batch_size, shuffle=False, num_threads=8)))
         cm = M.confusion_init(7)
         eng.state, loss, cm = eng._train_step(eng.state, batch, cm)
@@ -221,15 +186,7 @@ def main():
 
     from mgnns_tpu.engine.train import Engine
 
-    def fused_apply(p, bs, batch, *, train, rng):
-        full = dict(batch)
-        full["object_inp"] = object_inp
-        full["place_inp"] = place_inp
-        logits, new_bs, _ = mgnns_apply(p, bs, consts, full, cfg=cfg,
-                                        train=train, rng=rng, use_pallas=True)
-        return logits, new_bs
-
-    live_eng = Engine(fused_apply, params, bstats, num_classes=7,
+    live_eng = Engine(model.apply_fn, params, bstats, num_classes=7,
                       steps_per_epoch=1)
     live_loader = DeviceLoader(ds, batch_size, shuffle=False, num_threads=8,
                                cache_device_batches=False, device_images=True,

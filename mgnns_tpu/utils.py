@@ -8,14 +8,25 @@ import time
 
 
 def _host_cpu_fingerprint() -> str:
-    """Short stable hash of this host's CPU feature set (the flags lines of
-    ``/proc/cpuinfo``; the machine name elsewhere)."""
+    """Short stable hash of this host's CPU identity.
+
+    Covers the ``/proc/cpuinfo`` feature flags AND the family/model/stepping/
+    microcode lines: XLA:CPU's codegen tunes on the detected microarchitecture
+    and microcode-dependent mitigations (e.g. ``prefer-no-gather`` /
+    ``prefer-no-scatter`` for gather-slow steppings), so two hosts with
+    identical flag sets can still produce mutually incompatible AOT entries
+    (observed: a flags-only fingerprint collided across rig machines and the
+    loader warned of SIGILL-able target-feature mismatches)."""
     import hashlib
     import platform
 
+    keys = ("flags", "Features", "model name", "cpu family", "model",
+            "stepping", "microcode", "CPU implementer", "CPU part")
     try:
         with open("/proc/cpuinfo") as f:
-            feats = sorted({l.strip() for l in f if l.startswith(("flags", "Features"))})
+            feats = sorted({l.strip() for l in f
+                            if l.split(":")[0].strip() in keys
+                            or l.startswith(("flags", "Features"))})
         blob = "\n".join(feats) or platform.machine()
     except OSError:
         blob = f"{platform.machine()}-{platform.processor()}"

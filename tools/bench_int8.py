@@ -21,20 +21,11 @@ Writes results/r3/int8_microbench.json.
 import json
 import os
 import sys
-import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-
-def timed(fn, args, iters, readback):
-    out = fn(*args)
-    readback(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    readback(out)
-    return (time.perf_counter() - t0) / iters
+from tools._bench_util import measured_bf16_peak, timed
 
 
 def main():
@@ -50,19 +41,7 @@ def main():
     n, chain = 8192, 8
 
     # --- 1. chained matmul peaks -----------------------------------------
-    scale = jnp.bfloat16(1.0 / np.sqrt(n))
-    A16 = jax.random.normal(jax.random.key(0), (n, n), jnp.bfloat16) * scale
-    x16 = jax.random.normal(jax.random.key(1), (n, n), jnp.bfloat16)
-
-    @jax.jit
-    def peak_bf16(x, a):
-        def body(_, acc):
-            return jnp.dot(acc, a, preferred_element_type=jnp.bfloat16)
-        return jax.lax.fori_loop(0, chain, body, x)
-
-    dt16 = timed(peak_bf16, (x16, A16), iters=8,
-                 readback=lambda o: float(o[0, 0].astype(jnp.float32)))
-    tf16 = chain * 2 * n ** 3 / dt16 / 1e12
+    tf16 = measured_bf16_peak(n=n, chain=chain)
     results["matmul_bf16_tflops"] = round(tf16, 1)
 
     A8 = jax.random.randint(jax.random.key(2), (n, n), -4, 4, jnp.int8)

@@ -25,16 +25,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-
-def timed(fn, args, iters, readback):
-    """Slope timing: run iters chained calls, force completion via readback."""
-    out = fn(*args)
-    readback(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    readback(out)
-    return (time.perf_counter() - t0) / iters
+from tools._bench_util import flagship_data, flagship_model, measured_bf16_peak, timed
 
 
 def flops_of(jitted, *args):
@@ -62,67 +53,20 @@ def main():
     results = {}
 
     # --- 1. measured peak: chained bf16 matmul ---------------------------
-    n, chain = 8192, 8
-    scale = jnp.bfloat16(1.0 / np.sqrt(n))
-    A = (jax.random.normal(jax.random.key(0), (n, n), jnp.bfloat16) * scale)
-    x0 = jax.random.normal(jax.random.key(1), (n, n), jnp.bfloat16)
-
-    @jax.jit
-    def peak_fn(x, a):
-        def body(_, acc):
-            return jnp.dot(acc, a, preferred_element_type=jnp.bfloat16)
-        return jax.lax.fori_loop(0, chain, body, x)
-
-    dt = timed(peak_fn, (x0, A), iters=8,
-               readback=lambda o: float(o[0, 0].astype(jnp.float32)))
-    peak_tflops = chain * 2 * n**3 / dt / 1e12
+    peak_tflops = measured_bf16_peak()
     results["peak_bf16_matmul_tflops"] = round(peak_tflops, 1)
 
     # --- 2. model programs at flagship config ----------------------------
-    from mgnns_tpu.config import DataConfig, ModelConfig, TextGraphConfig
-    from mgnns_tpu.data.dataset import TumblrDataset, load_constants
     from mgnns_tpu.data.loader import DeviceLoader
-    from mgnns_tpu.data.text import build_text_side, read_anno
     from mgnns_tpu.engine import metrics as M
     from mgnns_tpu.engine.train import Engine
-    from mgnns_tpu.models import mgnns_apply
-    from mgnns_tpu.models.mgnns import mgnns_init_jitted
 
-    ref = os.environ.get("MGNNS_DATA", "/root/reference/data")
     B = int(os.environ.get("MGNNS_BENCH_BATCH", "32"))
-    graph_cfg = TextGraphConfig()
-    data_cfg = DataConfig(
-        data_root_path=ref,
-        object_inp_name=f"{ref}/glove/object_glove_word2vec.pkl",
-        place_inp_name=f"{ref}/glove/place_glove_word2vec.pkl",
-        label_glove_name=f"{ref}/tumblr_label_glove.pkl",
-        object_adj_file=f"{ref}/adj/tumblr_objects_adj.pkl",
-        place_adj_file=f"{ref}/adj/tumblr_resnet50_places_adj.pkl",
-        image_backend="synthetic",
-    )
-    vocab, graph, _ = build_text_side(ref, graph_cfg, [], pmi_phase="val")
-    records = read_anno(ref, "val")[:B * 2]
-    ds = TumblrDataset(data_cfg, graph_cfg, "val", vocab, graph,
-                       image_size=448, records=records)
-    consts_np = load_constants(data_cfg, object_t=0.4, place_t=0.3)
-    cfg = ModelConfig(vocab_size=len(vocab), edges_num=graph.num_edges,
-                      compute_dtype="bfloat16", bn_mode="frozen",
-                      unroll_trunks=True, remat_policy="none")
-    params, bstats, consts = mgnns_init_jitted(
-        jax.random.key(0), cfg, num_edges=graph.num_edges,
-        label_embedding=consts_np["label_embedding"],
-        object_A=consts_np["object_A"], place_A=consts_np["place_A"])
-    object_inp = jax.device_put(consts_np["object_inp"])
-    place_inp = jax.device_put(consts_np["place_inp"])
-    batch = next(iter(DeviceLoader(ds, B, shuffle=False, num_threads=8)))
-
-    def apply_fn(p, bs, b, *, train, rng):
-        full = dict(b)
-        full["object_inp"] = object_inp
-        full["place_inp"] = place_inp
-        logits, new_bs, _ = mgnns_apply(p, bs, consts, full, cfg=cfg,
-                                        train=train, rng=rng, use_pallas=True)
-        return logits, new_bs
+    data = flagship_data(n_records=B * 2)
+    model = flagship_model(data, bn_mode="frozen", unroll_trunks=True,
+                           remat_policy="none")
+    params, bstats, apply_fn = model.params, model.bstats, model.apply_fn
+    batch = next(iter(DeviceLoader(data.ds, B, shuffle=False, num_threads=8)))
 
     rows = []
 
@@ -179,7 +123,7 @@ def main():
                                               .astype(jnp.float32).sum()))
         rows.append((f"{name} (B={B})", f_t, dt_t))
 
-    print(f"measured peak (chained bf16 {n}^3 matmul): {peak_tflops:.1f} TFLOP/s")
+    print(f"measured peak (chained bf16 8192^3 matmul): {peak_tflops:.1f} TFLOP/s")
     print("| program | XLA FLOPs/call | time | TFLOP/s | % of measured peak |")
     print("|---|---|---|---|---|")
     for name, f, dt in rows:
