@@ -187,7 +187,7 @@ def main():
     from mgnns_tpu.engine.train import Engine
 
     live_eng = Engine(model.apply_fn, params, bstats, num_classes=7,
-                      steps_per_epoch=1)
+                      steps_per_epoch=1, eval_only=True)
     live_loader = DeviceLoader(ds, batch_size, shuffle=False, num_threads=8,
                                cache_device_batches=False, device_images=True,
                                device_text=True)

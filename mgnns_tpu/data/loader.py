@@ -313,6 +313,15 @@ class DeviceLoader:
         chunks += [(order[-1:], 0)] * (self.num_batches - len(chunks))
         return chunks
 
+    def rewind_epoch(self) -> None:
+        """Un-consume one epoch: a caller that built (and then discarded) an
+        ``epoch_plan`` without training on it calls this before falling back
+        to streaming iteration, so the fallback epoch replays the SAME
+        shuffle/augmentation streams the plan would have used (otherwise a
+        fused-compile failure silently offsets every later epoch's order by
+        one, breaking seed determinism against a run that never fused)."""
+        self.epoch = max(0, self.epoch - 1)
+
     def epoch_plan(self) -> dict | None:
         """Fused-epoch handoff: when the split is fully device-resident
         (``device_text`` and, if images are used, ``device_images``), one

@@ -81,6 +81,7 @@ class Engine:
         max_to_keep: int = 3,
         mesh=None,
         param_sharding_rules=None,
+        eval_only: bool = False,
     ):
         self.apply_fn = apply_fn
         self.num_classes = num_classes
@@ -90,7 +91,11 @@ class Engine:
         # batch cannot poison the run).  Occurrences are counted on device
         # and surfaced per epoch.
         self.nan_guard = nan_guard
-        self.tx = make_optimizer(
+        # eval_only skips the optimizer entirely: Adam moments are ~2 extra
+        # copies of the params in HBM, which an eval-only engine (serving,
+        # eval benches) never reads — and which can crowd out the fused-epoch
+        # program next to device-resident pixel tables.
+        self.tx = None if eval_only else make_optimizer(
             params,
             lr=lr, lrp=lrp, weight_decay=weight_decay, grad_clip=grad_clip,
             steps_per_epoch=steps_per_epoch, epoch_step=epoch_step,
@@ -107,7 +112,7 @@ class Engine:
         self.state = TrainState(
             params=params,
             batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
+            opt_state=self.tx.init(params) if self.tx is not None else None,
             step=jnp.zeros((), jnp.int32),
             rng=jax.random.key(seed),
         )
@@ -336,11 +341,17 @@ class Engine:
         return out
 
     def train_epoch(self, loader: Iterable[dict], log_every: int = 0) -> dict:
+        if self.tx is None:
+            raise RuntimeError("Engine was built with eval_only=True; "
+                               "it has no optimizer state to train with")
         plan = self._epoch_plan(loader)
         if plan is not None:
             out = self._train_epoch_fused(plan)
             if out is not None:
                 return out
+            # the plan consumed an epoch off the loader's counter; give it
+            # back so the streaming fallback replays the same shuffle order
+            loader.rewind_epoch()
         cm = M.confusion_init(self.num_classes)
         losses = []
         t0 = time.time()
@@ -385,6 +396,7 @@ class Engine:
             out = self._eval_epoch_fused(plan, collect_preds)
             if out is not None:
                 return out
+            loader.rewind_epoch()  # see train_epoch
         cm = M.confusion_init(self.num_classes)
         losses, wsums, all_preds, all_ids, all_tgts = [], [], [], [], []
         t0 = time.time()
@@ -586,7 +598,7 @@ class Engine:
         self.state = TrainState(
             params=params,
             batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
+            opt_state=self.tx.init(params) if self.tx is not None else None,
             step=self.state.step,
             rng=self.state.rng,
         )

@@ -347,8 +347,10 @@ class BatchingFrontend:
     def _loop(self) -> None:
         import queue
 
+        carry = None  # request that didn't fit the previous group
         while True:
-            first = self._q.get()
+            first = carry if carry is not None else self._q.get()
+            carry = None
             # drop requests whose client already timed out (``abandoned``):
             # computing answers nobody reads under overload is the
             # positive-feedback loop that keeps the queue saturated
@@ -356,7 +358,10 @@ class BatchingFrontend:
                 continue
             group = [first]
             n = len(first[0])
-            # coalesce whatever is already waiting, up to one device batch
+            # coalesce whatever is already waiting, up to one device batch —
+            # never past it: overflowing the group would chain extra
+            # fixed-shape forwards that every coalesced client (including
+            # ones that fit the first pass) must wait for
             while n < self.predictor.max_batch:
                 try:
                     nxt = self._q.get_nowait()
@@ -364,6 +369,9 @@ class BatchingFrontend:
                     break
                 if nxt[1].get("abandoned"):
                     continue
+                if n + len(nxt[0]) > self.predictor.max_batch:
+                    carry = nxt  # leads the next group instead
+                    break
                 group.append(nxt)
                 n += len(nxt[0])
             all_records = [r for recs, _, _ in group for r in recs]

@@ -515,3 +515,61 @@ def test_metrics_jsonl_logging(tmp_path):
     for r in rows:
         assert {"loss", "accuracy", "macro_f1"} <= set(r["train"])
         assert np.isfinite(r["val"]["accuracy"])
+
+
+def test_epoch_plan_rewind_replays_same_order():
+    """rewind_epoch un-consumes a discarded epoch_plan: the next plan (or
+    streaming epoch) replays the same shuffle order."""
+    _, loader = _fused_fixture()
+    ld = loader(device_text=True, shuffle=True)
+    p1 = ld.epoch_plan()
+    ld.rewind_epoch()
+    p2 = ld.epoch_plan()
+    np.testing.assert_array_equal(p1["idx"], p2["idx"])
+    p3 = ld.epoch_plan()  # un-rewound: a fresh epoch reshuffles
+    assert not np.array_equal(p1["idx"], p3["idx"])
+
+
+def test_fused_compile_failure_fallback_keeps_shuffle_order(monkeypatch):
+    """When the fused epoch program fails to compile, the streaming fallback
+    must replay the SAME shuffle order the discarded plan consumed
+    (regression: the plan advanced the loader's epoch counter and the
+    fallback advanced it again, offsetting every epoch's order by one vs a
+    run that never attempted fusion — breaking seed determinism)."""
+    engine, loader = _fused_fixture()
+    ref_eng, fail_eng = engine(), engine()
+    ref_ld = loader(shuffle=True, seed=7)
+    fail_ld = loader(device_text=True, shuffle=True, seed=7)
+    # every fused compile "fails"; the engine must fall back cleanly
+    monkeypatch.setattr(Engine, "_fused_call",
+                        lambda self, sig, fn, args, pre: None)
+    for _ in range(2):
+        a = ref_eng.train_epoch(ref_ld)
+        b = fail_eng.train_epoch(fail_ld)
+        assert "fused" not in b  # fell back to the loop path
+        assert b["accuracy"] == a["accuracy"]
+        assert b["loss"] == pytest.approx(a["loss"], rel=1e-5)
+    # shuffle order changes batch composition, so the sequential-update
+    # trajectories only match if both runs saw the same order every epoch
+    for x, y in zip(jax.tree_util.tree_leaves(ref_eng.state.params),
+                    jax.tree_util.tree_leaves(fail_eng.state.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_engine_eval_only_skips_optimizer_state():
+    """eval_only engines never allocate Adam moments (2 extra param copies
+    in HBM that eval never reads) and refuse to train."""
+    def apply_fn(p, bs, batch, *, train, rng):
+        return batch["x"] @ p["w"], bs
+
+    params = {"w": jnp.ones((3, 2), jnp.float32)}
+    eng = Engine(apply_fn, params, {}, num_classes=2, eval_only=True)
+    assert eng.state.opt_state is None
+    batch = {"x": np.ones((4, 3), np.float32),
+             "label": np.zeros((4,), np.int32),
+             "weight": np.ones((4,), np.float32)}
+    out = eng.eval_epoch([batch])
+    assert np.isfinite(out["loss"])
+    with pytest.raises(RuntimeError, match="eval_only"):
+        eng.train_epoch([batch])

@@ -431,3 +431,60 @@ def test_batching_frontend_drops_abandoned_requests():
     assert out == [{"id": "C"}]
     # B was abandoned before the worker reached it: never predicted
     assert all("B" not in c for c in calls)
+
+
+def test_batching_frontend_never_overflows_max_batch():
+    """Coalescing must stop BEFORE a group exceeds predictor.max_batch: an
+    overflowing group chains extra fixed-shape forwards that every coalesced
+    client (including ones that fit the first pass) waits for (regression:
+    the worker appended a queued request whenever the running total was
+    still below max_batch, so totals like 3+2 > 4 ran as one group)."""
+    import threading
+
+    from mgnns_tpu.serving import BatchingFrontend
+
+    release = threading.Event()
+    calls = []
+
+    class Pred:
+        max_batch = 4
+        text_only = True
+
+        def predict(self, records):
+            calls.append(len(records))
+            if records[0]["id"] == "hold":
+                release.wait(10)
+            return [{"id": r["id"]} for r in records]
+
+    fe = BatchingFrontend(Pred(), max_queue=8)
+    results = {}
+
+    def client(name, n):
+        results[name] = fe.submit([{"id": f"{name}{i}"} for i in range(n)],
+                                  timeout=15)
+
+    th = threading.Thread(target=client, args=("hold", 1))
+    th.start()
+    for _ in range(500):  # until the worker holds the device
+        if calls:
+            break
+        threading.Event().wait(0.01)
+    assert calls == [1]
+    # queued while the worker is busy: 3 + 2 > max_batch=4 — must NOT coalesce
+    t3 = threading.Thread(target=client, args=("a", 3))
+    t2 = threading.Thread(target=client, args=("b", 2))
+    t3.start()
+    for _ in range(500):  # a's request enqueued first
+        if fe._q.qsize() >= 1:
+            break
+        threading.Event().wait(0.01)
+    t2.start()
+    for _ in range(500):
+        if fe._q.qsize() >= 2:
+            break
+        threading.Event().wait(0.01)
+    release.set()
+    th.join(15); t3.join(15); t2.join(15)
+    assert calls == [1, 3, 2]  # two groups, neither exceeding max_batch
+    assert [r["id"] for r in results["a"]] == ["a0", "a1", "a2"]
+    assert [r["id"] for r in results["b"]] == ["b0", "b1"]

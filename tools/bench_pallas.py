@@ -11,23 +11,27 @@ Run ON TPU (default platform):  python tools/bench_pallas.py
 import json
 import os
 import sys
-import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+from tools._bench_util import timed
 
-def timeit(fn, *args, iters=50, warmup=5):
+
+def timeit(fn, *args, iters=100, reps=3):
+    # real D2H scalar readback as the completion barrier —
+    # jax.block_until_ready can return before remote execution completes on
+    # a network-attached TPU (see tools/_bench_util.timed).  These programs
+    # are ~1 ms, where tunnel jitter dominates single measurements: take the
+    # min over independent repetitions (the classic microbench estimator —
+    # noise only ever adds time).
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    def readback(o):
+        return float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+
+    return min(timed(fn, args, iters=iters, readback=readback)
+               for _ in range(reps)) * 1e3  # ms
 
 
 def main():
