@@ -182,7 +182,43 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics_path", type=str, default=None,
                    help="append one JSON line of train/val metrics per epoch "
                         "(machine-readable run observability)")
+    p.add_argument("--libtpu_init_args", type=str, default=None,
+                   help="extra server-side TPU compiler flags, appended to "
+                        "LIBTPU_INIT_ARGS before backend init ('--xla_tpu_*' "
+                        "flags crash the CLIENT flag parser if put in "
+                        "XLA_FLAGS on tunnel rigs — this is the working "
+                        "channel; see tools/xla_flag_sweep.py).  Use the "
+                        "'=' form: --libtpu_init_args='--xla_tpu_...=1'")
+    p.add_argument("--perf_preset", action="store_true",
+                   help="apply the recorded TPU compiler-flag sweep winner "
+                        "(+3%% on the fine-tune step, results/r3/"
+                        "xla_flag_sweep.json): "
+                        "--xla_tpu_enable_aggressive_loop_fusion_layout_opt")
     return p
+
+
+_PERF_PRESET_FLAGS = "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true"
+
+
+def _apply_tpu_compile_flags(args) -> str | None:
+    """Set LIBTPU_INIT_ARGS before the TPU backend initializes and return a
+    compilation-cache salt.  The JAX compilation cache key IGNORES libtpu
+    flags (measured: a warm cache silently serves programs compiled under
+    different flags), so runs with non-default flags get their own cache
+    subdirectory."""
+    extra = []
+    if args.perf_preset:
+        extra.append(_PERF_PRESET_FLAGS)
+    if args.libtpu_init_args:
+        extra.append(args.libtpu_init_args)
+    if not extra:
+        return None
+    flags = " ".join(extra)
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "") + " " + flags).strip()
+    import hashlib
+
+    return hashlib.sha256(os.environ["LIBTPU_INIT_ARGS"].encode()).hexdigest()[:10]
 
 
 def load_torch_state_dict(path: str) -> tuple[dict, dict]:
@@ -210,6 +246,7 @@ def load_torch_state_dict(path: str) -> tuple[dict, dict]:
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    cache_salt = _apply_tpu_compile_flags(args)  # before any backend init
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.multihost:
@@ -218,7 +255,7 @@ def main(argv=None) -> dict:
         initialize()
     from mgnns_tpu.utils import enable_compilation_cache
 
-    enable_compilation_cache()
+    enable_compilation_cache(salt=cache_salt)
     from mgnns_tpu.config import DataConfig, ModelConfig, TextGraphConfig
     from mgnns_tpu.data.dataset import TumblrDataset, load_constants
     from mgnns_tpu.data.loader import DeviceLoader

@@ -33,17 +33,25 @@ def _host_cpu_fingerprint() -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
-def enable_compilation_cache(path: str | None = None) -> None:
+def enable_compilation_cache(path: str | None = None,
+                             salt: str | None = None) -> None:
     """Persistent XLA compilation cache across processes.
 
     The fusion model's first jit costs tens of seconds; the cache makes every
     later process (bench, CLI runs, driver checks) hit warm.
+
+    ``salt`` isolates runs whose compiled programs the cache key cannot
+    distinguish — e.g. non-default ``LIBTPU_INIT_ARGS`` (the key ignores
+    libtpu flags, so a warm cache would silently serve programs compiled
+    under different flags).
     """
     import jax
 
     cache_dir = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/mgnns_jax_cache")
     )
+    if salt:
+        cache_dir = os.path.join(cache_dir, f"flags-{salt}")
     # Key by platform AND a host-CPU fingerprint: XLA:CPU AOT entries bake in
     # the compile machine's CPU features, and the loader does NOT reject a
     # mismatch — it logs "could lead to execution errors such as SIGILL" and

@@ -181,3 +181,31 @@ def test_cli_eval_batch_size(tmp_path):
     ])
     assert len(res["history"]) == 1 and "test" in res
     assert len(res["test"]["preds"]) == 64
+
+
+def test_tpu_compile_flags_plumbing(monkeypatch):
+    """--perf_preset/--libtpu_init_args set LIBTPU_INIT_ARGS before backend
+    init and return a cache salt (the JAX compilation cache key ignores
+    libtpu flags, so flagged runs must not share the default cache)."""
+    from mgnns_tpu.cli.main import _apply_tpu_compile_flags, build_parser
+
+    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    args = build_parser().parse_args(["--perf_preset"])
+    salt = _apply_tpu_compile_flags(args)
+    assert salt and len(salt) == 10
+    assert ("--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true"
+            in os.environ["LIBTPU_INIT_ARGS"])
+
+    # extra flags append (ambient env preserved) and change the salt
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "--ambient=1")
+    args2 = build_parser().parse_args(
+        ["--perf_preset", "--libtpu_init_args=--xla_tpu_foo=2"])
+    salt2 = _apply_tpu_compile_flags(args2)
+    env = os.environ["LIBTPU_INIT_ARGS"]
+    assert env.startswith("--ambient=1") and "--xla_tpu_foo=2" in env
+    assert salt2 != salt
+
+    # default: no env write, no salt
+    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    assert _apply_tpu_compile_flags(build_parser().parse_args([])) is None
+    assert "LIBTPU_INIT_ARGS" not in os.environ
