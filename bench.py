@@ -106,7 +106,8 @@ def main():
         unroll_trunks=(mode == "train" and
                        os.environ.get("MGNNS_BENCH_UNROLL", "1") == "1"),
         remat_policy=os.environ.get("MGNNS_BENCH_REMAT", "none"),
-        freeze_trunks=os.environ.get("MGNNS_BENCH_FREEZE_TRUNKS") == "1")
+        freeze_trunks=os.environ.get("MGNNS_BENCH_FREEZE_TRUNKS") == "1",
+        stem_s2d=os.environ.get("MGNNS_BENCH_STEM_S2D", "0") == "1")
     cfg, params, bstats = model.cfg, model.params, model.bstats
 
     @jax.jit

@@ -177,6 +177,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="feature-extraction fine-tuning: stop trunk "
                         "gradients and freeze trunk params (~4x train "
                         "throughput; the reference always fine-tunes)")
+    p.add_argument("--stem_s2d", action="store_true",
+                   help="space-to-depth stem: the 7x7/s2 trunk stem as an "
+                        "exact-equivalent 4x4/s1 conv over a s2d-2 input "
+                        "(MLPerf TPU trick; same math, params, checkpoints "
+                        "— only the XLA lowering changes)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace for the first train epoch")
     p.add_argument("--metrics_path", type=str, default=None,
@@ -367,6 +372,7 @@ def main(argv=None) -> dict:
         remat_trunks=args.remat_trunks, remat_policy=args.remat_policy,
         bn_mode=args.bn_mode,
         unroll_trunks=args.unroll_trunks, freeze_trunks=args.freeze_trunks,
+        stem_s2d=args.stem_s2d,
     )
 
     mesh = None

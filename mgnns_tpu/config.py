@@ -96,6 +96,12 @@ class ModelConfig:
     # trunk parameters in the optimizer.  The reference always fine-tunes
     # the trunks at lr*lrp; this is a documented TPU-native extension.
     freeze_trunks: bool = False
+    # Space-to-depth stem: compute the 7x7/stride-2 stem conv as the exact
+    # equivalent 4x4/stride-1 conv over a space-to-depth-2 input (the MLPerf
+    # ResNet TPU trick; nn/resnet.py:stem_s2d_apply).  Same multiply-adds
+    # and unchanged parameters/checkpoints — only the XLA lowering changes
+    # (3-channel stride-2 convs are the one shape XLA:TPU lowers poorly).
+    stem_s2d: bool = False
 
     @property
     def bi_hidden_size(self) -> int:

@@ -199,7 +199,8 @@ def _image_channel(
         return resnet.resnet_apply(
             tp, ts, img, depth=depth, train=bn_train, dtype=dtype,
             unroll=cfg.unroll_trunks,
-            block_remat=cfg.remat_policy == "block")
+            block_remat=cfg.remat_policy == "block",
+            stem_s2d=cfg.stem_s2d)
 
     if ((cfg.remat_trunks or cfg.remat_policy == "trunk")
             and cfg.remat_policy != "block"):

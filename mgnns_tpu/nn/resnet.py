@@ -61,6 +61,46 @@ def conv_apply(p: dict, x: jnp.ndarray, stride: int = 1, padding="SAME", dtype=N
     )
 
 
+def stem_s2d_apply(p: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """The 7×7/stride-2 stem conv as an EQUIVALENT 4×4/stride-1 conv over a
+    space-to-depth-2 input (the MLPerf-ResNet TPU trick).
+
+    Why: the native stem is the one conv XLA:TPU lowers pathologically —
+    3 input channels use 3/128 MXU lanes and the stride-2 backward (dgrad
+    over a 448² activation) measured ~7-10 ms per trunk step
+    (results/r3/conv_formulations.json `stem_7x7_s2_448`) while the rest of
+    the trunk runs at ~84% of matmul peak.  In s2d space the same
+    multiply-adds become a stride-1 conv with 12 input channels.
+
+    Derivation (1-D; zero padding 3 each side, stride 2):
+      y[i] = Σ_{p=0..6} x[2i+p-3]·w[p]            (native)
+           = Σ_{r=0..7} x[2i+r-4]·w8[r]           (r=p+1, w8 = w left-padded by one zero)
+           = Σ_{p'=0..3, a∈{0,1}} x[2(i+p'-2)+a]·w8[2p'+a]
+           = Σ_{p'} x2[i+p'-2, a]·w4[p', a]       (x2[u,a]=x[2u+a]; pad (2,1))
+    The parameter stays the stored [7,7,C,64] tensor — the w→w4 scatter is a
+    per-step pad/reshape/transpose (fused by XLA, gradients flow through) —
+    so checkpoints and torch imports are unchanged.  Exact same
+    multiply-adds ⇒ parity with the native stem to float reassociation.
+    """
+    w = p["w"]
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+    else:
+        w = w.astype(x.dtype)
+    B, H, W, C = x.shape
+    x2 = (x.reshape(B, H // 2, 2, W // 2, 2, C)
+           .transpose(0, 1, 3, 2, 4, 5)
+           .reshape(B, H // 2, W // 2, 4 * C))
+    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    K = w.shape[3]
+    w4 = (w8.reshape(4, 2, 4, 2, C, K)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * C, K))
+    return jax.lax.conv_general_dilated(
+        x2, w4, (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def bn_init(c: int, dtype=jnp.float32) -> tuple[dict, dict]:
     params = {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
     state = {"mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
@@ -202,6 +242,7 @@ def resnet_apply(
     dtype=None,
     unroll: bool = False,
     block_remat: bool = False,
+    stem_s2d: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """x: [B, H, W, 3] normalized images.  Returns ([B, H/32, W/32, 2048],
     new_batch_stats).
@@ -225,7 +266,10 @@ def resnet_apply(
                 p_, s_, x_, stride, train=train, dtype=dtype)
             return jax.checkpoint(fn)(p, s, x)
     ns: dict = {}
-    out = conv_apply(params["conv1"], x, 2, ((3, 3), (3, 3)), dtype)
+    if stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        out = stem_s2d_apply(params["conv1"], x, dtype)
+    else:
+        out = conv_apply(params["conv1"], x, 2, ((3, 3), (3, 3)), dtype)
     out, ns["bn1"] = bn_apply(params["bn1"], state["bn1"], out, train=train)
     out = jax.nn.relu(out)
     out = max_pool(out, 3, 2, 1)

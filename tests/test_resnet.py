@@ -130,3 +130,50 @@ def test_resnet_init_shapes():
     assert out.shape == (1, 3, 3, 2048)
     # train mode must produce updated stats pytree with same structure
     assert set(ns.keys()) == set(state.keys())
+
+
+def test_stem_s2d_exact_equivalence(rng):
+    """The space-to-depth stem (4x4/s1 over s2d-2 input) computes the SAME
+    multiply-adds as the native 7x7/s2 stem: outputs match to float
+    reassociation and the weight/input gradients match exactly (the w->w4
+    scatter is a linear pad/reshape/transpose)."""
+    for H, W, C in [(64, 64, 3), (14, 20, 5), (30, 16, 2)]:
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+        p = {"w": jnp.asarray(rng.standard_normal((7, 7, C, 8)) * 0.1,
+                              jnp.float32)}
+        ref = resnet.conv_apply(p, x, 2, ((3, 3), (3, 3)))
+        got = resnet.stem_s2d_apply(p, x)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+    def loss(stem_fn, w, x):
+        return jnp.sum(stem_fn({"w": w}, x) ** 2)
+
+    native = lambda p_, x_: resnet.conv_apply(p_, x_, 2, ((3, 3), (3, 3)))
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((7, 7, 3, 8)) * 0.1, jnp.float32)
+    for argnum in (1, 2):
+        g_ref = jax.grad(loss, argnum)(native, w, x)
+        g_s2d = jax.grad(loss, argnum)(resnet.stem_s2d_apply, w, x)
+        np.testing.assert_allclose(np.asarray(g_s2d), np.asarray(g_ref),
+                                   atol=5e-4, rtol=1e-5)
+
+
+def test_trunk_stem_s2d_matches_native(rng):
+    """resnet_apply(stem_s2d=True) matches the native trunk end to end, and
+    falls back to the native stem for odd spatial sizes."""
+    params, stats = resnet.resnet_init(jax.random.key(0), depth=50)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    ref, _ = resnet.resnet_apply(params, stats, x, depth=50, train=False)
+    got, _ = resnet.resnet_apply(params, stats, x, depth=50, train=False,
+                                 stem_s2d=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    # odd size: silently uses the native stem (shape would not divide)
+    x_odd = jnp.asarray(rng.standard_normal((1, 63, 63, 3)), jnp.float32)
+    a, _ = resnet.resnet_apply(params, stats, x_odd, depth=50, train=False,
+                               stem_s2d=True)
+    b, _ = resnet.resnet_apply(params, stats, x_odd, depth=50, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)
