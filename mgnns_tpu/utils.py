@@ -43,13 +43,23 @@ def enable_compilation_cache(path: str | None = None,
     ``salt`` isolates runs whose compiled programs the cache key cannot
     distinguish — e.g. non-default ``LIBTPU_INIT_ARGS`` (the key ignores
     libtpu flags, so a warm cache would silently serve programs compiled
-    under different flags).
+    under different flags).  When no explicit salt is given but
+    ``LIBTPU_INIT_ARGS`` is already exported (the documented hand-run channel,
+    tools/xla_flag_sweep.py), the salt is derived from the env var directly —
+    otherwise a user-exported flag set would reuse the stock-flags cache.
+    The hash matches ``cli.main._apply_tpu_compile_flags``'s, so a CLI run
+    and a hand-exported run with the same flags share one warm cache.
     """
     import jax
 
     cache_dir = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/mgnns_jax_cache")
     )
+    if salt is None and os.environ.get("LIBTPU_INIT_ARGS", "").strip():
+        import hashlib
+
+        salt = hashlib.sha256(
+            os.environ["LIBTPU_INIT_ARGS"].encode()).hexdigest()[:10]
     if salt:
         cache_dir = os.path.join(cache_dir, f"flags-{salt}")
     # Key by platform AND a host-CPU fingerprint: XLA:CPU AOT entries bake in

@@ -31,3 +31,35 @@ def test_cpu_cache_dir_is_host_keyed(tmp_path):
         assert os.path.isdir(d)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_ambient_libtpu_flags_salt_the_cache(tmp_path, monkeypatch):
+    """A hand-exported LIBTPU_INIT_ARGS (the tools/xla_flag_sweep.py channel)
+    must not reuse the stock-flags cache: the JAX cache key ignores libtpu
+    flags, so without a salt a warm cache silently serves programs compiled
+    under different flags.  The auto-salt must also match the CLI's, so both
+    channels share one warm cache for the same flag set."""
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+        enable_compilation_cache(str(tmp_path))
+        stock = jax.config.jax_compilation_cache_dir
+
+        monkeypatch.setenv("LIBTPU_INIT_ARGS", "--xla_tpu_whatever=true")
+        enable_compilation_cache(str(tmp_path))
+        salted = jax.config.jax_compilation_cache_dir
+        assert salted != stock
+        assert "flags-" in salted
+
+        # same dir as the CLI-computed salt for the same env value
+        import hashlib
+
+        cli_salt = hashlib.sha256(b"--xla_tpu_whatever=true").hexdigest()[:10]
+        assert f"flags-{cli_salt}" in salted
+
+        # whitespace-only env var is not a flag set
+        monkeypatch.setenv("LIBTPU_INIT_ARGS", "  ")
+        enable_compilation_cache(str(tmp_path))
+        assert jax.config.jax_compilation_cache_dir == stock
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
