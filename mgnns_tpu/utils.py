@@ -33,6 +33,23 @@ def _host_cpu_fingerprint() -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
+def _ambient_flags_salt(backend: str | None) -> str | None:
+    """Cache salt derived from an ambient ``LIBTPU_INIT_ARGS`` export.
+
+    Only accelerator backends are salted: libtpu flags cannot change a
+    compiled CPU program, and a stray exported LIBTPU_INIT_ARGS would force a
+    needless cold CPU recompile (minutes for the sharded fusion suite).  The
+    *stripped* value is hashed so the salt matches the CLI's
+    ``_apply_tpu_compile_flags`` hash for whitespace-differing but
+    semantically equal flag sets (shared warm cache)."""
+    ambient = os.environ.get("LIBTPU_INIT_ARGS", "").strip()
+    if not ambient or backend in (None, "cpu"):
+        return None
+    import hashlib
+
+    return hashlib.sha256(ambient.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(path: str | None = None,
                              salt: str | None = None) -> None:
     """Persistent XLA compilation cache across processes.
@@ -55,11 +72,12 @@ def enable_compilation_cache(path: str | None = None,
     cache_dir = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/mgnns_jax_cache")
     )
-    if salt is None and os.environ.get("LIBTPU_INIT_ARGS", "").strip():
-        import hashlib
-
-        salt = hashlib.sha256(
-            os.environ["LIBTPU_INIT_ARGS"].encode()).hexdigest()[:10]
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = None
+    if salt is None:
+        salt = _ambient_flags_salt(backend)
     if salt:
         cache_dir = os.path.join(cache_dir, f"flags-{salt}")
     # Key by platform AND a host-CPU fingerprint: XLA:CPU AOT entries bake in
@@ -68,14 +86,11 @@ def enable_compilation_cache(path: str | None = None,
     # then actually SIGILLs (observed: a cache populated on a wider-AVX512
     # host crashed this one).  A per-host cache directory makes a moved
     # checkout recompile cold instead of crashing.
-    try:
-        backend = jax.default_backend()
+    if backend is not None:
         # TPU/GPU programs execute on the accelerator — host CPU features
         # don't matter, and re-keying would throw away their warm caches.
         sub = f"cpu-{_host_cpu_fingerprint()}" if backend == "cpu" else backend
         cache_dir = os.path.join(cache_dir, sub)
-    except Exception:
-        pass
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

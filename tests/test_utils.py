@@ -35,31 +35,43 @@ def test_cpu_cache_dir_is_host_keyed(tmp_path):
 
 def test_ambient_libtpu_flags_salt_the_cache(tmp_path, monkeypatch):
     """A hand-exported LIBTPU_INIT_ARGS (the tools/xla_flag_sweep.py channel)
-    must not reuse the stock-flags cache: the JAX cache key ignores libtpu
-    flags, so without a salt a warm cache silently serves programs compiled
-    under different flags.  The auto-salt must also match the CLI's, so both
-    channels share one warm cache for the same flag set."""
+    must not reuse the stock-flags cache on an accelerator backend: the JAX
+    cache key ignores libtpu flags, so without a salt a warm cache silently
+    serves programs compiled under different flags.  The auto-salt must also
+    match the CLI's, so both channels share one warm cache for the same flag
+    set — including flag sets that differ only in surrounding whitespace.
+    On the CPU backend the salt must NOT apply: libtpu flags cannot change a
+    compiled CPU program, and a stray export would force a needless cold
+    recompile."""
+    import hashlib
+
+    from mgnns_tpu.utils import _ambient_flags_salt
+
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "--xla_tpu_whatever=true")
+    cli_salt = hashlib.sha256(b"--xla_tpu_whatever=true").hexdigest()[:10]
+    assert _ambient_flags_salt("tpu") == cli_salt
+    # whitespace-differing but semantically equal flags -> same warm cache
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "  --xla_tpu_whatever=true \n")
+    assert _ambient_flags_salt("tpu") == cli_salt
+    # CPU backend: no salt regardless of the export
+    assert _ambient_flags_salt("cpu") is None
+    # whitespace-only env var is not a flag set
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "  ")
+    assert _ambient_flags_salt("tpu") is None
+    monkeypatch.delenv("LIBTPU_INIT_ARGS")
+    assert _ambient_flags_salt("tpu") is None
+
+    # end-to-end under the (CPU-forced) test backend: an ambient export must
+    # leave the cache directory unsalted, but an explicit salt still applies
     prev = jax.config.jax_compilation_cache_dir
     try:
         monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
         enable_compilation_cache(str(tmp_path))
         stock = jax.config.jax_compilation_cache_dir
-
         monkeypatch.setenv("LIBTPU_INIT_ARGS", "--xla_tpu_whatever=true")
         enable_compilation_cache(str(tmp_path))
-        salted = jax.config.jax_compilation_cache_dir
-        assert salted != stock
-        assert "flags-" in salted
-
-        # same dir as the CLI-computed salt for the same env value
-        import hashlib
-
-        cli_salt = hashlib.sha256(b"--xla_tpu_whatever=true").hexdigest()[:10]
-        assert f"flags-{cli_salt}" in salted
-
-        # whitespace-only env var is not a flag set
-        monkeypatch.setenv("LIBTPU_INIT_ARGS", "  ")
-        enable_compilation_cache(str(tmp_path))
         assert jax.config.jax_compilation_cache_dir == stock
+        enable_compilation_cache(str(tmp_path), salt="abc")
+        assert "flags-abc" in jax.config.jax_compilation_cache_dir
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
