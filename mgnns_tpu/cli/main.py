@@ -517,21 +517,19 @@ def main(argv=None) -> dict:
     # it reships every epoch otherwise; splits past the budget use the
     # per-batch upload path).
     _device_images_for: dict = {}
-    if (args.device_images or args.device_text) and (mesh is not None
-                                                     or multihost_active):
-        # the tables are committed to the default device; a mesh batch's
-        # sample_index is a NamedSharding array (and multihost indices are
-        # host-local), so the eager on-device gather cannot work as-is
-        raise SystemExit(
-            "--device_images/--device_text are incompatible with "
-            "--mesh_data/--mesh_model > 1 and --multihost; drop them "
-            "(per-batch upload shards fine)")
+    if args.device_text and args.multihost and mesh is None:
+        raise SystemExit("--device_text under --multihost needs a mesh "
+                         "(--mesh_data/--mesh_model) for SPMD table sharding")
+    # HBM budgeting is per CHIP: under a mesh the tables shard over the
+    # 'data' axis, so each device holds only its position's rows
+    data_shards = mesh.shape["data"] if mesh is not None else 1
     input_hbm_budget = args.device_images_budget_gb * 1e9
     if args.device_images:
         for ds in (train_ds, val_ds, test_ds):
             if id(ds) in _device_images_for:
                 continue
-            size = len(ds) * args.image_size * args.image_size * 3
+            size = (len(ds) * args.image_size * args.image_size * 3
+                    / max(1, data_shards))
             grant = size <= input_hbm_budget and ds.cacheable_images()
             _device_images_for[id(ds)] = grant
             if grant:
@@ -570,6 +568,11 @@ def main(argv=None) -> dict:
                                        / max(1, len({id(val_ds), id(test_ds)}))),
                 device_images=dev_imgs,
                 device_text=args.device_text,
+                # SPMD input: under a mesh the tables shard position-major
+                # over 'data' and fused epochs gather shard-locally
+                # (parallel/input.py); streaming falls back to host batches
+                # through the device_put hook
+                mesh=mesh,
             )
         ld = _loader_cache[key]
         return lambda: ld

@@ -105,6 +105,7 @@ class DeviceLoader:
         device_images: bool = False,
         device_text: bool = False,
         num_batches: int | None = None,
+        mesh=None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -161,16 +162,41 @@ class DeviceLoader:
         # KB/sample) and be gathered per batch by sample index on device.
         # With device_images as well, a live batch ships only the [B] index
         # + tiny host-side vectors.  Unlike device_images this is valid for
-        # SHUFFLED training (text tensors are always deterministic); it
-        # requires default device placement (the tables are committed to the
-        # default device, so mesh-sharded / multihost batches can't gather
-        # from them).
-        if device_text and device_put is not None:
+        # SHUFFLED training (text tensors are always deterministic).
+        #
+        # Placement has two modes:
+        # - default (mesh=None): tables are committed to the default device
+        #   and gathered eagerly per batch; incompatible with a sharded
+        #   ``device_put`` hook (the committed tables can't feed mesh
+        #   batches);
+        # - SPMD (mesh=...): tables shard position-major over the mesh's
+        #   'data' axis (``parallel.input.InputPlan``) and every batch is
+        #   gathered shard-locally inside the fused whole-epoch program —
+        #   the same zero-per-step-H2D pipeline, now multi-chip/multi-host.
+        #   Streaming iteration (the fused-compile-failure fallback) ignores
+        #   the tables and assembles host batches for the device_put hook.
+        if device_text and device_put is not None and mesh is None:
             raise ValueError(
                 "device_text requires default device placement "
-                "(incompatible with sharded/multihost device_put hooks)")
+                "(incompatible with sharded/multihost device_put hooks) — "
+                "pass mesh=... for SPMD table sharding")
         self.device_text = device_text
         self._text_tables = None
+        self._input_plan = None
+        if mesh is not None and (device_text or device_images):
+            from mgnns_tpu.parallel.input import make_input_plan
+
+            self._input_plan = make_input_plan(
+                mesh, len(dataset), batch_size,
+                n_global=getattr(dataset, "global_len", None) or len(dataset))
+            if self._input_plan.num_batches > self.num_batches:
+                raise ValueError(
+                    f"sharded input plan needs {self._input_plan.num_batches}"
+                    f" batches/epoch but num_batches={self.num_batches}")
+        # streaming-path table flags: under a mesh the tables only feed the
+        # fused epoch plan; __iter__ falls back to full host assembly
+        self._stream_device_text = self.device_text and mesh is None
+        self._stream_device_images = self.device_images and mesh is None
         # With default placement, per-batch [B]-sized vectors (weight,
         # label, sample_index) stay host numpy in the yielded dict: jitted
         # steps upload them per call (~1 KB), and host-side consumers
@@ -201,13 +227,13 @@ class DeviceLoader:
             "weight": np.zeros((B,), np.float32),
             "sample_index": np.zeros((B,), np.int32),
         }
-        if not self.device_text:
+        if not self._stream_device_text:
             L, W = t.ids.shape[1], t.eids.shape[2]
             batch["ids"] = np.zeros((B, L), np.int32)
             batch["lens"] = lens
             batch["mask"] = (np.arange(L)[None, :] < lens[:, None]).astype(np.float32)
             batch["eids"] = np.zeros((B, L, W), np.int32)
-        if self.with_images and not self.device_images:
+        if self.with_images and not self._stream_device_images:
             s = self.ds.image_size
             dt = np.uint8 if getattr(self.ds, "pixel_format", "uint8") == "uint8" else np.float32
             batch["image"] = np.zeros((B, s, s, 3), dt)
@@ -226,13 +252,13 @@ class DeviceLoader:
             "weight": (np.arange(B) < n).astype(np.float32),
             "sample_index": full_idx.astype(np.int32),
         }
-        if not self.device_text:
+        if not self._stream_device_text:
             t = self.ds.text
             batch["ids"] = t.ids[full_idx]
             batch["lens"] = t.lens[full_idx]
             batch["mask"] = t.mask[full_idx]
             batch["eids"] = t.eids[full_idx]
-        if self.with_images and not self.device_images:
+        if self.with_images and not self._stream_device_images:
             seeds = [random.Random(rng.getrandbits(32)) for _ in full_idx]
             if pool is not None:
                 imgs = list(pool.map(self.ds.load_image, full_idx, seeds))
@@ -285,17 +311,75 @@ class DeviceLoader:
             self._text_tables = tabs
         return self._text_tables
 
+    def _sharded_table_cache(self) -> dict:
+        """Per-dataset cache of mesh-sharded tables, so every loader over the
+        same split (train/val/test ablations) shares one sharded copy."""
+        cache = getattr(self.ds, "_sharded_tables", None)
+        if cache is None:
+            cache = self.ds._sharded_tables = {}
+        return cache
+
+    def _plan_cache_key(self, kind: str) -> tuple:
+        p = self._input_plan
+        return (kind, id(p.mesh), p.S, tuple(p.local_positions.tolist()))
+
+    def _ensure_text_tables_sharded(self) -> dict:
+        """Position-major text tables sharded P('data', ...) over the mesh
+        (see ``parallel.input``): device(s) at data position d hold exactly
+        their own samples' rows.  Shared per dataset like the default-device
+        tables."""
+        if self._text_tables is None:
+            cache = self._sharded_table_cache()
+            key = self._plan_cache_key("text")
+            tabs = cache.get(key)
+            if tabs is None:
+                from mgnns_tpu.parallel.input import shard_table
+
+                rows = self._input_plan.local_table_rows()
+                t = self.ds.text
+                src = {"ids": t.ids, "lens": t.lens, "mask": t.mask,
+                       "eids": t.eids, "label": self.ds.labels}
+                tabs = {k: shard_table(self._input_plan, v[rows])
+                        for k, v in src.items()}
+                cache[key] = tabs
+            self._text_tables = tabs
+        return self._text_tables
+
+    def _ensure_image_table_sharded(self):
+        """Position-major pixel table, stored flattened [rows, H*W*3] (same
+        rationale as ``_ensure_image_table``) and sharded P('data', None)."""
+        if self._image_table is None:
+            cache = self._sharded_table_cache()
+            key = self._plan_cache_key("image")
+            entry = cache.get(key)
+            if entry is None:
+                from mgnns_tpu.parallel.input import shard_table
+
+                rows = self._input_plan.local_table_rows()
+                pool = ThreadPoolExecutor(self.num_threads)
+                try:
+                    imgs = list(pool.map(self.ds.load_image, rows))
+                finally:
+                    pool.shutdown(wait=False)
+                arr = np.stack(imgs)
+                row_shape = arr.shape[1:]
+                entry = (shard_table(self._input_plan,
+                                     arr.reshape(arr.shape[0], -1)), row_shape)
+                cache[key] = entry
+            self._image_table = entry
+        return self._image_table
+
     def _gather_tables(self, out: dict) -> dict:
         """On-device gather of table-resident tensors for one batch (used at
         placement time and when replaying table-free cached batches).
         Contiguous index runs (unshuffled epochs) take the dynamic-slice
         fast path; everything else the 2D-reshaped take."""
         idx_np = np.asarray(out["sample_index"])
-        if self.device_text:
+        if self._stream_device_text:
             tabs = self._ensure_text_tables()
             for k in ("ids", "lens", "mask", "eids"):
                 out[k] = _gather_rows(tabs[k], idx_np)
-        if self.device_images:
+        if self._stream_device_images:
             table2d, row_shape = self._ensure_image_table()
             out["image"] = _gather_rows(table2d, idx_np, row_shape)
         return out
@@ -330,9 +414,19 @@ class DeviceLoader:
         epoch as a single ``lax.scan`` program, gathering every batch on
         device.  Returns None when the loader must stream (then the
         engine falls back to per-batch iteration).  Advances the epoch
-        counter like an iteration would."""
-        if not (self.device_text and self._host_small
+        counter like an iteration would.
+
+        Under a mesh the plan is SPMD: tables shard position-major over the
+        'data' axis and the index/weight matrices are placed P(None, 'data')
+        with POSITION-LOCAL row ids, so the engine's fused scan gathers each
+        batch shard-locally (``parallel.input.sharded_gather_fn``) with zero
+        collectives in the input path."""
+        if not (self.device_text
                 and (self.device_images or not self.with_images)):
+            return None
+        if self._input_plan is not None:
+            return self._epoch_plan_sharded()
+        if not self._host_small:
             return None
         chunks = self._epoch_chunks()
         B = self.batch_size
@@ -352,6 +446,46 @@ class DeviceLoader:
         return {"tables": tables, "idx": idx, "weight": wt,
                 "labels": self.ds.labels[idx], "row_shapes": row_shapes}
 
+    def _epoch_plan_sharded(self) -> dict:
+        """The SPMD epoch plan (see ``epoch_plan``).  Host-side keys carry
+        this process's column blocks only (``weight_host``/``labels``/
+        ``rows_host``); global accounting (sample count, per-batch weight
+        sums) is derived from the plan's global position_valid so it needs
+        no cross-host exchange."""
+        from mgnns_tpu.parallel.input import epoch_index_plan, shard_epoch_matrix
+
+        plan = self._input_plan
+        epoch = self.epoch
+        self.epoch += 1
+        idx, wt, rows = epoch_index_plan(plan, epoch, self.seed, self.shuffle)
+        wsums = plan.batch_weight_sums()
+        if self.num_batches > plan.num_batches:
+            # a forced epoch length (multihost step-count alignment) beyond
+            # the plan's natural batches: append all-padding batches
+            pad = self.num_batches - plan.num_batches
+            idx = np.concatenate([idx, np.zeros((pad,) + idx.shape[1:], idx.dtype)])
+            wt = np.concatenate([wt, np.zeros((pad,) + wt.shape[1:], wt.dtype)])
+            rows = np.concatenate([rows, np.zeros((pad,) + rows.shape[1:], rows.dtype)])
+            wsums = np.concatenate([wsums, np.zeros(pad, wsums.dtype)])
+        tables = dict(self._ensure_text_tables_sharded())
+        row_shapes = {}
+        if self.device_images:
+            tables["image"], shape = self._ensure_image_table_sharded()
+            row_shapes["image"] = shape
+        return {
+            "tables": tables,
+            "idx": shard_epoch_matrix(plan, idx),
+            "weight": shard_epoch_matrix(plan, wt),
+            "row_shapes": row_shapes,
+            "mesh": plan.mesh,
+            "sharded": True,
+            "n_samples": plan.n_global,
+            "batch_weight_sums": wsums,
+            "weight_host": wt,
+            "labels": self.ds.labels[rows],
+            "rows_host": rows,
+        }
+
     def __iter__(self) -> Iterator[dict]:
         """Producer-thread iteration: batch assembly + H2D placement run on a
         background thread feeding a bounded queue, fully overlapping host
@@ -363,7 +497,7 @@ class DeviceLoader:
         if n_cached:
             # replay the cached prefix (full epoch when the cache is
             # complete; otherwise the tail streams below)
-            if self.device_images or self.device_text:
+            if self._stream_device_images or self._stream_device_text:
                 # cached batches are stored WITHOUT table-resident tensors
                 # (they'd duplicate the device tables); re-gather per replay
                 # — a cheap on-device index into the resident tables
@@ -400,7 +534,8 @@ class DeviceLoader:
             # consumer's jitted execution (deadlocks observed over the axon
             # tunnel), so device placement happens on the consumer thread.
             pool = (ThreadPoolExecutor(self.num_threads)
-                    if self.with_images and not self.device_images else None)
+                    if self.with_images and not self._stream_device_images
+                    else None)
             try:
                 for chunk, n_valid in chunks:
                     if stop.is_set():
@@ -440,7 +575,7 @@ class DeviceLoader:
                 host, to_place = {}, item
             dev = dict(self._device_put(to_place)) if to_place else {}
             dev.update(host)
-            if self.device_images or self.device_text:
+            if self._stream_device_images or self._stream_device_text:
                 cache_batch(item, dict(dev))  # table-free
                 dev = self._gather_tables(dev)
             else:

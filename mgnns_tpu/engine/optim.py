@@ -88,6 +88,7 @@ def make_optimizer(
     faithful: bool = False,
     accumulation_steps: int = 1,
     freeze_trunks: bool = False,
+    algo: str = "adam",
 ) -> optax.GradientTransformation:
     """torch-Adam-equivalent chain: clip -> L2-to-grad -> Adam moments ->
     per-group multiplier -> -lr(step).
@@ -97,6 +98,13 @@ def make_optimizer(
     ``--accumulation_steps`` flag (``Tumblr_...py:76``); the effective batch
     is ``accumulation_steps * batch_size`` and ``steps_per_epoch`` should
     count applied (outer) steps.
+
+    ``algo='sgd'`` drops the Adam moment estimator (plain SGD over the same
+    clip/decay/group/schedule chain).  The reference trains Adam-only; SGD
+    exists for numerics-parity harnesses — Adam's first-step update is
+    ``sign(g)*lr`` per parameter, which chaotically amplifies float32
+    reduction-order noise on near-zero gradients, while SGD perturbs
+    parameters proportionally to the gradient error (bounded, comparable).
     """
     labels = label_params(params, faithful, freeze_trunks)
     multipliers = {
@@ -106,11 +114,14 @@ def make_optimizer(
         "trunk": optax.scale(lrp),
         "frozen": optax.set_to_zero(),
     }
+    if algo not in ("adam", "sgd"):
+        raise ValueError(f"unknown optimizer algo {algo!r}")
     sched = lr_schedule(lr, steps_per_epoch, epoch_step, lr_decay)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.add_decayed_weights(weight_decay),
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        (optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+         if algo == "adam" else optax.identity()),
         optax.multi_transform(multipliers, labels),
         optax.scale_by_schedule(lambda step: -sched(step)),
     )

@@ -76,6 +76,7 @@ class Engine:
         freeze_trunks: bool = False,
         aux_loss_weight: float = 0.0,
         nan_guard: bool = True,
+        optimizer_algo: str = "adam",
         seed: int = 0,
         checkpoint_dir: str | None = None,
         max_to_keep: int = 3,
@@ -101,6 +102,7 @@ class Engine:
             steps_per_epoch=steps_per_epoch, epoch_step=epoch_step,
             lr_decay=lr_decay, faithful=faithful_param_groups,
             accumulation_steps=accumulation_steps, freeze_trunks=freeze_trunks,
+            algo=optimizer_algo,
         )
         self.mesh = mesh
         self._param_rules = param_sharding_rules
@@ -181,7 +183,7 @@ class Engine:
         self._fused_cache = {}
         self._fused_disabled = False
 
-    def _build_fused(self, row_shapes: dict):
+    def _build_fused(self, row_shapes: dict, mesh=None):
         """One jitted program per EPOCH: ``lax.scan`` over a [num_batches, B]
         sample-index matrix, gathering every batch from device-resident
         tables inside the scan body.  The per-step host dispatch (and its
@@ -193,22 +195,34 @@ class Engine:
         ``row_shapes`` maps table keys that are STORED flattened as
         [N, row_elems] (big-row tables — see ``data/loader._take_rows``:
         an in-program full-table reshape is a layout copy that can OOM)
-        to the logical per-row shape to restore after the gather."""
+        to the logical per-row shape to restore after the gather.
+
+        With ``mesh`` (an SPMD plan from a mesh-built loader), tables are
+        position-major 'data'-sharded and the index matrix carries
+        position-LOCAL row ids — the gather runs shard-locally via
+        ``shard_map`` with zero collectives, and batches come out sharded
+        over 'data' exactly like the streaming path's."""
         train_step, eval_step = self._train_step_fn, self._eval_step_fn
 
-        def gather(tables, idx, weight):
-            # 2D-reshaped row gather: XLA:TPU lowers the native N-d row
-            # gather ~4x slower for large rows (27.3 vs 7.1 ms for 128 rows
-            # of 448px uint8); the small-table reshapes are free inside the
-            # program, and flat-stored tables (row_shapes) skip it entirely
-            batch = {}
-            for k, v in tables.items():
-                flat = v if k in row_shapes else v.reshape(v.shape[0], -1)
-                rows = jnp.take(flat, idx, axis=0)
-                shape = row_shapes.get(k, v.shape[1:])
-                batch[k] = rows.reshape((idx.shape[0],) + tuple(shape))
-            batch["weight"] = weight
-            return batch
+        if mesh is not None:
+            from mgnns_tpu.parallel.input import sharded_gather_fn
+
+            gather = sharded_gather_fn(mesh, row_shapes)
+        else:
+            def gather(tables, idx, weight):
+                # 2D-reshaped row gather: XLA:TPU lowers the native N-d row
+                # gather ~4x slower for large rows (27.3 vs 7.1 ms for 128
+                # rows of 448px uint8); the small-table reshapes are free
+                # inside the program, and flat-stored tables (row_shapes)
+                # skip it entirely
+                batch = {}
+                for k, v in tables.items():
+                    flat = v if k in row_shapes else v.reshape(v.shape[0], -1)
+                    rows = jnp.take(flat, idx, axis=0)
+                    shape = row_shapes.get(k, v.shape[1:])
+                    batch[k] = rows.reshape((idx.shape[0],) + tuple(shape))
+                batch["weight"] = weight
+                return batch
 
         def fused_train(state, cm, tables, idx_mat, wt_mat):
             def body(carry, xs):
@@ -235,11 +249,12 @@ class Engine:
 
     def _get_fused(self, plan: dict):
         """(fused_train, fused_eval) jitted pair for this plan's flat-table
-        row shapes (built once per distinct shape map)."""
+        row shapes (built once per distinct shape map / mesh)."""
         rs = plan.get("row_shapes") or {}
-        key = tuple(sorted((k, tuple(v)) for k, v in rs.items()))
+        mesh = plan.get("mesh")
+        key = (tuple(sorted((k, tuple(v)) for k, v in rs.items())), id(mesh))
         if key not in self._fused_fns:
-            self._fused_fns[key] = self._build_fused(dict(rs))
+            self._fused_fns[key] = self._build_fused(dict(rs), mesh)
         return key, self._fused_fns[key]
 
     def _fused_call(self, name, jit_fn, args, out: dict):
@@ -272,12 +287,18 @@ class Engine:
     def _epoch_plan(self, loader):
         """A loader that keeps its whole split in device tables can hand the
         engine an epoch plan (tables + index/weight matrices) for fused
-        whole-epoch execution.  Sharded runs keep the loop path (tables are
-        committed to the default device)."""
-        if self.mesh is not None or self._fused_disabled:
+        whole-epoch execution.  A mesh engine needs an SPMD plan (the loader
+        must have been built with the same mesh — ``DeviceLoader(mesh=...)``);
+        a default-device plan can't feed mesh-sharded steps and falls back
+        to streaming."""
+        if self._fused_disabled:
             return None
         plan_fn = getattr(loader, "epoch_plan", None)
-        return plan_fn() if plan_fn is not None else None
+        plan = plan_fn() if plan_fn is not None else None
+        if plan is not None and self.mesh is not None and not plan.get("sharded"):
+            loader.rewind_epoch()  # give the consumed epoch back
+            return None
+        return plan
 
     def _finish_losses(self, out: dict, loss_values) -> None:
         finite = [l for l in loss_values if np.isfinite(l)]
@@ -304,7 +325,9 @@ class Engine:
         out = M.metrics_from_confusion(cm)
         out.update(pre)
         self._finish_losses(out, loss_values)
-        n = int(plan["weight"].sum())
+        n = plan.get("n_samples")
+        if n is None:
+            n = int(plan["weight"].sum())
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
         out["epoch_seconds"] = dt
         out["fused"] = True
@@ -327,13 +350,28 @@ class Engine:
         out = M.metrics_from_confusion(cm_host)
         out.update(pre)
         lv = np.asarray(losses, np.float64)
-        wv = plan["weight"].sum(axis=1).astype(np.float64)
+        wv = plan.get("batch_weight_sums")
+        if wv is None:
+            wv = plan["weight"].sum(axis=1)
+        wv = np.asarray(wv, np.float64)
         out["loss"] = float((lv * wv).sum() / max(wv.sum(), 1.0)) if lv.size else 0.0
-        n = int(plan["weight"].sum())
+        n = plan.get("n_samples")
+        if n is None:
+            n = int(plan["weight"].sum())
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
         out["confusion"] = cm_host
         out["fused"] = True
-        if collect_preds:
+        if collect_preds and plan.get("sharded"):
+            # preds come back [nb, B] sharded P(None, 'data'); read this
+            # process's column block (everything, single-process) and mask
+            # with the matching host-side blocks
+            from mgnns_tpu.parallel.input import host_local_columns
+
+            w = plan["weight_host"].reshape(-1).astype(bool)
+            out["preds"] = host_local_columns(preds).reshape(-1)[w]
+            out["targets"] = plan["labels"].reshape(-1)[w]
+            out["sample_index"] = plan["rows_host"].reshape(-1)[w]
+        elif collect_preds:
             w = plan["weight"].reshape(-1).astype(bool)
             out["preds"] = np.asarray(preds).reshape(-1)[w]
             out["targets"] = plan["labels"].reshape(-1)[w]
