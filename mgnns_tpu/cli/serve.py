@@ -135,8 +135,8 @@ def make_server(args) -> ThreadingHTTPServer:
             mesh=make_mesh(args),
         )
         model_name = args.checkpoint
-    # warm the compiled program so the first request isn't a compile
-    predictor.predict([{"text": "warmup"}])
+    # precompile every batch bucket so no live request pays a jit compile
+    predictor.warm()
     frontend = BatchingFrontend(predictor, max_queue=args.max_queue)
     handler = make_handler(frontend, model_name, predictor.text_only,
                            args.request_timeout)

@@ -212,6 +212,8 @@ def load_exported(
         image_backend=image_backend or meta["image_backend"],
         image_root=image_root, max_batch=meta["max_batch"],
         text_only=meta["text_only"], strict_images=strict_images,
+        # the artifact holds ONE compiled shape — no smaller buckets
+        batch_buckets=[meta["max_batch"]],
     )
     # the exported program IS probs = softmax(logits) (Predictor._fwd was
     # exported); call it directly — dict arg order is pytree(sorted keys),

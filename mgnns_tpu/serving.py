@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import random
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,8 @@ class Predictor:
         text_only: bool = False,
         strict_images: bool = True,
         mesh=None,
+        batch_buckets: list[int] | None = None,
+        decode_threads: int | None = None,
     ):
         self.vocab = vocab
         self.graph = graph
@@ -66,6 +69,13 @@ class Predictor:
         # strict: a missing/corrupt image raises instead of silently
         # substituting the deterministic synthetic fallback pixels
         self.strict_images = strict_images
+        # image decode/resize runs on a thread pool (PIL releases the GIL
+        # for decode + resample); serial decode was the dominant cost of a
+        # fusion request (~35 ms/image at 448px)
+        if decode_threads is None:
+            decode_threads = min(8, os.cpu_count() or 4)
+        self._decode_pool = (
+            ThreadPoolExecutor(decode_threads) if decode_threads > 1 else None)
         # Multi-device inference: batches shard over the mesh's 'data' axis,
         # the big gather tables / wide projections shard over 'model' (the
         # same rules the training engine uses), small params replicate.  XLA
@@ -91,6 +101,25 @@ class Predictor:
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         self._fwd = jax.jit(fwd)
+        # Batch-size buckets: a request for n records runs the smallest
+        # compiled batch >= n instead of always paying the full max_batch
+        # forward (a 1-record fusion request was 16x the needed compute).
+        # Each bucket is one jit specialization; ``warm()`` precompiles them.
+        dsize = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        if batch_buckets is None:
+            batch_buckets = []
+            b = 1
+            while b < max_batch:
+                if b % dsize == 0:
+                    batch_buckets.append(b)
+                b *= 4
+        buckets = sorted({int(b) for b in batch_buckets} | {max_batch})
+        for b in buckets:
+            if b > max_batch or b % dsize != 0:
+                raise ValueError(
+                    f"batch bucket {b} invalid (max_batch {max_batch}, "
+                    f"mesh data axis {dsize})")
+        self.batch_buckets = buckets
 
     # ------------------------------------------------------------- preproc
 
@@ -98,60 +127,73 @@ class Predictor:
         # shared with training (data/text.py) so preprocessing cannot diverge
         return encode_texts(texts, self.w2i, self.graph, self.graph_cfg)
 
-    def _encode_images(self, records: list[dict]):
-        imgs = []
-        for i, rec in enumerate(records):
-            path = os.path.join(self.image_root, rec.get("image", ""))
-            if self.strict_images and self.image_backend == "pil":
-                try:
-                    from PIL import Image
+    def _decode_one_image(self, i: int, rec: dict) -> np.ndarray:
+        path = os.path.join(self.image_root, rec.get("image", ""))
+        if self.strict_images and self.image_backend == "pil":
+            try:
+                from PIL import Image
 
-                    with Image.open(path) as im:
-                        im.verify()
-                except (FileNotFoundError, OSError) as e:
-                    raise ValueError(
-                        f"record {i} (id={rec.get('id')!r}): image "
-                        f"{path!r} is missing or unreadable ({e}); pass "
-                        f"strict_images=False to substitute synthetic pixels"
-                    ) from e
-            imgs.append(I.load_image_uint8(
-                path, size=self.image_size, train=False, rng=random.Random(0),
-                backend=self.image_backend, sample_key=str(rec.get("id", rec.get("text", ""))),
-            ))
+                with Image.open(path) as im:
+                    im.verify()
+            except (FileNotFoundError, OSError) as e:
+                raise ValueError(
+                    f"record {i} (id={rec.get('id')!r}): image "
+                    f"{path!r} is missing or unreadable ({e}); pass "
+                    f"strict_images=False to substitute synthetic pixels"
+                ) from e
+        return I.load_image_uint8(
+            path, size=self.image_size, train=False, rng=random.Random(0),
+            backend=self.image_backend,
+            sample_key=str(rec.get("id", rec.get("text", ""))),
+        )
+
+    def _encode_images(self, records: list[dict]):
+        if self._decode_pool is not None and len(records) > 1:
+            imgs = list(self._decode_pool.map(
+                self._decode_one_image, range(len(records)), records))
+        else:
+            imgs = [self._decode_one_image(i, r) for i, r in enumerate(records)]
         return np.stack(imgs)
 
     # ------------------------------------------------------------- predict
 
-    def predict(self, records: list[dict]) -> list[dict]:
-        """records: list of {"text": str, "image": optional path, "id": optional}.
-        Returns per record: {"label", "label_id", "probs": {name: p}}."""
-        for i, rec in enumerate(records):
-            if "text" not in rec:
-                raise ValueError(
-                    f"record {i} (id={rec.get('id')!r}) has no 'text' field")
-        out: list[dict] = []
-        for i in range(0, len(records), self.max_batch):
-            chunk = records[i : i + self.max_batch]
-            out.extend(self._predict_chunk(chunk))
-        return out
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if b >= n:
+                return b
+        return self.max_batch
 
-    def _predict_chunk(self, records: list[dict]) -> list[dict]:
+    def _encode_batch(self, records: list[dict]):
+        """Host preprocessing of one chunk into a device-ready batch of the
+        smallest bucket size >= len(records).  Only the real records are
+        encoded; the pad slots repeat the last encoded ROW (cheap memcpy —
+        the old path re-ran tokenization and image decode on duplicated
+        records, so a 1-record fusion request paid 16 image decodes)."""
         n = len(records)
-        B = self.max_batch
+        B = self._bucket(n)
         pad = B - n
-        padded = records + [records[-1]] * pad
-        ids, lens, mask, eids = self._encode_text([r["text"] for r in padded])
+
+        def padrow(a: np.ndarray) -> np.ndarray:
+            if pad == 0:
+                return a
+            return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+
+        ids, lens, mask, eids = self._encode_text([r["text"] for r in records])
         batch = {
-            "ids": jnp.asarray(ids), "lens": jnp.asarray(lens),
-            "mask": jnp.asarray(mask), "eids": jnp.asarray(eids),
+            "ids": padrow(ids), "lens": padrow(lens),
+            "mask": padrow(mask), "eids": padrow(eids),
         }
         if not self.text_only:
-            batch["image"] = jnp.asarray(self._encode_images(padded))
+            batch["image"] = padrow(self._encode_images(records))
         if self.mesh is not None:
             from mgnns_tpu.parallel.mesh import batch_device_put
 
             batch = batch_device_put(batch, self.mesh)
-        probs = np.asarray(self._fwd(self.params, self.batch_stats, batch))[:n]
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return batch, n
+
+    def _format(self, probs: np.ndarray) -> list[dict]:
         results = []
         for row in probs:
             label_id = int(row.argmax())
@@ -161,6 +203,43 @@ class Predictor:
                 "probs": {self.idx2label[j]: float(p) for j, p in enumerate(row)},
             })
         return results
+
+    def predict(self, records: list[dict]) -> list[dict]:
+        """records: list of {"text": str, "image": optional path, "id": optional}.
+        Returns per record: {"label", "label_id", "probs": {name: p}}.
+
+        Multi-chunk requests are PIPELINED: the device executes chunk i
+        while the host preprocesses chunk i+1 (dispatch is async; the result
+        readback is deferred one chunk), so host decode and TPU compute
+        overlap instead of strictly alternating."""
+        for i, rec in enumerate(records):
+            if "text" not in rec:
+                raise ValueError(
+                    f"record {i} (id={rec.get('id')!r}) has no 'text' field")
+        out: list[dict] = []
+        pending = None  # (device probs, n) of the chunk in flight
+        for i in range(0, len(records), self.max_batch):
+            batch, n = self._encode_batch(records[i : i + self.max_batch])
+            probs_dev = self._fwd(self.params, self.batch_stats, batch)
+            if pending is not None:
+                out.extend(self._format(np.asarray(pending[0])[: pending[1]]))
+            pending = (probs_dev, n)
+        if pending is not None:
+            out.extend(self._format(np.asarray(pending[0])[: pending[1]]))
+        return out
+
+    def warm(self) -> None:
+        """Precompile every batch bucket (and prime the host caches) so no
+        live request pays a jit compile."""
+        rec = {"text": "warmup"}
+        if not self.text_only:
+            rec["image"] = "__warmup__.jpg"
+        strict, self.strict_images = self.strict_images, False
+        try:
+            for b in self.batch_buckets:
+                self.predict([dict(rec) for _ in range(b)])
+        finally:
+            self.strict_images = strict
 
     # ---------------------------------------------------------- constructors
 
@@ -181,6 +260,8 @@ class Predictor:
         strict_images: bool = True,
         reference_ckpt: str | None = None,
         mesh=None,
+        batch_buckets: list[int] | None = None,
+        decode_threads: int | None = None,
     ) -> "Predictor":
         """Restore a Predictor from an engine checkpoint.
 
@@ -291,6 +372,7 @@ class Predictor:
             image_size=image_size, image_backend=image_backend,
             image_root=image_root, max_batch=max_batch, text_only=text_only,
             strict_images=strict_images, mesh=mesh,
+            batch_buckets=batch_buckets, decode_threads=decode_threads,
         )
 
 

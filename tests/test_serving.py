@@ -57,6 +57,53 @@ def test_predictor_batch_padding(trained_ckpt):
     assert single[0]["label"] == out[0]["label"]
 
 
+def test_predictor_batch_buckets(trained_ckpt):
+    """Bucketed batch slots: a small request runs a small compiled batch,
+    and every bucket size produces identical predictions (padding rows are
+    inert in eval mode)."""
+    from mgnns_tpu.serving import Predictor
+
+    pred = Predictor.from_engine_artifacts(
+        REF, trained_ckpt, text_only=True, pmi_phase="val", max_batch=16)
+    assert pred.batch_buckets == [1, 4, 16]
+    assert pred._bucket(1) == 1 and pred._bucket(2) == 4
+    assert pred._bucket(5) == 16 and pred._bucket(16) == 16
+    pred.warm()
+    records = [{"text": f"word{i} happy sad calm"} for i in range(16)]
+    full = pred.predict(records)
+    # n=3 -> bucket 4; n=1 -> bucket 1: same per-record results as the
+    # full-batch run regardless of which compiled slot served them
+    assert [r["label"] for r in pred.predict(records[:3])] == \
+        [r["label"] for r in full[:3]]
+    one = pred.predict(records[:1])[0]
+    assert one["label"] == full[0]["label"]
+    np.testing.assert_allclose(
+        sorted(one["probs"].values()), sorted(full[0]["probs"].values()),
+        rtol=1e-5)
+
+    # explicit buckets are validated
+    with pytest.raises(ValueError):
+        Predictor.from_engine_artifacts(
+            REF, trained_ckpt, text_only=True, pmi_phase="val",
+            max_batch=4, batch_buckets=[8])
+
+
+def test_predictor_pipelined_chunks_match(trained_ckpt):
+    """A multi-chunk request (pipelined dispatch) returns exactly the
+    per-record results of separate single-chunk requests, in order."""
+    from mgnns_tpu.serving import Predictor
+
+    pred = Predictor.from_engine_artifacts(
+        REF, trained_ckpt, text_only=True, pmi_phase="val", max_batch=4)
+    records = [{"id": str(i), "text": f"day {'happy' if i % 2 else 'sad'} "
+                                      f"word{i}"} for i in range(11)]
+    piped = pred.predict(records)  # 3 chunks in flight
+    assert len(piped) == 11
+    for i, r in enumerate(records):
+        solo = pred.predict([r])[0]
+        assert solo["label"] == piped[i]["label"], f"record {i}"
+
+
 def test_predict_cli(trained_ckpt, tmp_path):
     from mgnns_tpu.cli.predict import main as predict_main
 
