@@ -83,6 +83,7 @@ class Engine:
         mesh=None,
         param_sharding_rules=None,
         eval_only: bool = False,
+        fused_segments: int = 1,
     ):
         self.apply_fn = apply_fn
         self.num_classes = num_classes
@@ -126,6 +127,13 @@ class Engine:
         self.epoch = 0
         self.best_score = 0.0
         self._build_steps()
+        # K-segment fused epochs: an epoch runs as K fused scan programs of
+        # ~num_batches/K steps each instead of one whole-epoch program.
+        # Starts at the requested K (default 1 = whole epoch) and escalates
+        # x4 on compile failure (HBM-tight configs) before the per-batch
+        # fallback; sticky across epochs so the failing compile isn't
+        # retried every epoch.
+        self._fused_segments = max(1, int(fused_segments))
 
     # ------------------------------------------------------------------ jit
 
@@ -257,10 +265,13 @@ class Engine:
             self._fused_fns[key] = self._build_fused(dict(rs), mesh)
         return key, self._fused_fns[key]
 
-    def _fused_call(self, name, jit_fn, args, out: dict):
+    def _fused_exe(self, name, jit_fn, args, out: dict):
         """AOT-compile the fused epoch program (cached per input signature)
         so compile time is reported separately (``compile_seconds``) instead
-        of silently deflating epoch-0 samples/s."""
+        of silently deflating epoch-0 samples/s.  Returns the compiled
+        executable, or None when compilation fails (e.g. XLA HBM OOM: the
+        tables + step workspace must coexist in the program's static
+        allocation; nothing was donated, so falling back is safe)."""
         sig = (name, str(jax.tree_util.tree_map(
             lambda x: (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x)))),
             args)))
@@ -269,18 +280,63 @@ class Engine:
             t0 = time.time()
             try:
                 exe = jit_fn.lower(*args).compile()
-            except Exception as e:  # e.g. XLA HBM OOM: tables + step
-                # workspace must coexist in the fused program's static
-                # allocation.  Compilation failed, so no buffer was donated
-                # — falling back to per-batch execution is safe.
-                print(f"  [fused-epoch] compile failed "
-                      f"({type(e).__name__}); falling back to per-batch "
-                      f"execution for this engine")
-                self._fused_disabled = True
+            except Exception as e:
+                print(f"  [fused-epoch] compile failed at "
+                      f"{args[-1].shape[0]} batches/program "
+                      f"({type(e).__name__})")
                 return None
-            out["compile_seconds"] = time.time() - t0
+            out["compile_seconds"] = (
+                out.get("compile_seconds", 0.0) + time.time() - t0)
             self._fused_cache[sig] = exe
-        return exe(*args)
+        return exe
+
+    def _fused_segment_slices(self, nb: int) -> list[slice] | None:
+        """Row slices of the epoch's [nb, B] index/weight matrices under the
+        current segment count (``self._fused_segments``); equal ceil-length
+        segments, so at most TWO distinct compiled shapes (body + remainder).
+        None once segmentation is exhausted (segments of a single batch)."""
+        K = self._fused_segments
+        if K <= 1:
+            return [slice(0, nb)]
+        if K >= nb > 1:
+            return None
+        q = -(-nb // K)
+        return [slice(i, min(i + q, nb)) for i in range(0, nb, q)]
+
+    def _fused_epoch_exes(self, name, jit_fn, plan, lead_args, pre: dict):
+        """Compile the fused program(s) for the whole epoch BEFORE executing
+        anything: the K-segment ladder (VERDICT r3 item 6) escalates
+        1 -> 4 -> 16 ... segments per epoch when the single whole-epoch
+        program fails to compile (observed: fusion-at-448 train HBM OOM),
+        and only a fully-compiled ladder rung may run — a mid-epoch compile
+        failure after donated segment executions would lose train state.
+
+        Returns (segments, exes) or None (per-batch fallback)."""
+        nb = int(plan["idx"].shape[0])
+        failed_at = -1
+        while True:
+            segs = self._fused_segment_slices(nb)
+            if segs is None or len(segs) == failed_at:
+                self._fused_disabled = True
+                print("  [fused-epoch] segmentation exhausted; falling back "
+                      "to per-batch execution for this engine")
+                return None
+            exes = []
+            for s in segs:
+                args = lead_args + (plan["tables"], plan["idx"][s],
+                                    plan["weight"][s])
+                exe = self._fused_exe(name, jit_fn, args, pre)
+                if exe is None:
+                    break
+                exes.append(exe)
+            if len(exes) == len(segs):
+                if self._fused_segments > 1:
+                    print(f"  [fused-epoch] running {len(segs)} fused "
+                          f"segment(s) of <= {-(-nb // len(segs))} batches")
+                return segs, exes
+            failed_at = len(segs)
+            self._fused_segments = min(max(nb, 1),
+                                       max(self._fused_segments, 1) * 4)
 
     # ---------------------------------------------------------------- epochs
 
@@ -311,13 +367,18 @@ class Engine:
         key, (fused_train, _) = self._get_fused(plan)
         cm = M.confusion_init(self.num_classes)
         pre: dict = {}
-        t0 = time.time()
-        res = self._fused_call(
-            ("train", key), fused_train,
-            (self.state, cm, plan["tables"], plan["idx"], plan["weight"]), pre)
-        if res is None:
+        compiled = self._fused_epoch_exes(("train", key), fused_train, plan,
+                                          (self.state, cm), pre)
+        if compiled is None:
             return None  # compile failure; caller falls back to the loop path
-        self.state, cm, losses = res
+        segs, exes = compiled
+        t0 = time.time()
+        seg_losses = []
+        for s, exe in zip(segs, exes):
+            self.state, cm, ls = exe(self.state, cm, plan["tables"],
+                                      plan["idx"][s], plan["weight"][s])
+            seg_losses.append(ls)
+        losses = seg_losses[0] if len(seg_losses) == 1 else jnp.concatenate(seg_losses)
         # D2H loss readback = true completion barrier (block_until_ready can
         # return early on a network-attached TPU, docs/PERFORMANCE.md)
         loss_values = np.asarray(losses).astype(np.float64).tolist()
@@ -337,14 +398,20 @@ class Engine:
         key, (_, fused_eval) = self._get_fused(plan)
         cm = M.confusion_init(self.num_classes)
         pre: dict = {}
-        t0 = time.time()
-        res = self._fused_call(
-            ("eval", key), fused_eval,
-            (self.state.params, self.state.batch_stats, cm,
-             plan["tables"], plan["idx"], plan["weight"]), pre)
-        if res is None:
+        compiled = self._fused_epoch_exes(
+            ("eval", key), fused_eval, plan,
+            (self.state.params, self.state.batch_stats, cm), pre)
+        if compiled is None:
             return None  # compile failure; caller falls back to the loop path
-        cm, losses, preds = res
+        segs, exes = compiled
+        t0 = time.time()
+        seg_losses, seg_preds = [], []
+        for s, exe in zip(segs, exes):
+            cm, ls, ps = exe(self.state.params, self.state.batch_stats, cm,
+                             plan["tables"], plan["idx"][s], plan["weight"][s])
+            seg_losses.append(ls)
+            seg_preds.append(ps)
+        losses = seg_losses[0] if len(seg_losses) == 1 else jnp.concatenate(seg_losses)
         cm_host = np.asarray(cm)  # D2H readback = true completion barrier
         dt = time.time() - t0 - pre.get("compile_seconds", 0.0)
         out = M.metrics_from_confusion(cm_host)
@@ -368,12 +435,16 @@ class Engine:
             from mgnns_tpu.parallel.input import host_local_columns
 
             w = plan["weight_host"].reshape(-1).astype(bool)
-            out["preds"] = host_local_columns(preds).reshape(-1)[w]
+            preds_host = np.concatenate(
+                [host_local_columns(p) for p in seg_preds], axis=0)
+            out["preds"] = preds_host.reshape(-1)[w]
             out["targets"] = plan["labels"].reshape(-1)[w]
             out["sample_index"] = plan["rows_host"].reshape(-1)[w]
         elif collect_preds:
             w = plan["weight"].reshape(-1).astype(bool)
-            out["preds"] = np.asarray(preds).reshape(-1)[w]
+            preds_host = np.concatenate(
+                [np.asarray(p) for p in seg_preds], axis=0)
+            out["preds"] = preds_host.reshape(-1)[w]
             out["targets"] = plan["labels"].reshape(-1)[w]
             out["sample_index"] = plan["idx"].reshape(-1)[w]
         return out

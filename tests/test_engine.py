@@ -348,6 +348,69 @@ def test_fused_compile_failure_falls_back_to_loop(monkeypatch):
     assert r1["loss"] == pytest.approx(out["loss"], rel=1e-5)
 
 
+def test_fused_segmented_epoch_matches_loop():
+    """K-segment fused epochs (an epoch as K scan programs instead of one —
+    the HBM-tight fallback rung before per-batch dispatch) must reproduce
+    the loop path exactly: same losses, metrics, params, and collected
+    predictions, including forced-length all-padding tail batches."""
+    engine, loader = _fused_fixture()
+    loop_eng, seg_eng = engine(), engine()
+    seg_eng._fused_segments = 2
+    loop_ld = loader(num_batches=4)
+    seg_ld = loader(device_text=True, num_batches=4)
+    for _ in range(2):
+        tr_loop = loop_eng.train_epoch(loop_ld)
+        tr_seg = seg_eng.train_epoch(seg_ld)
+        assert tr_seg.get("fused") is True
+        assert tr_seg["accuracy"] == tr_loop["accuracy"]
+        assert tr_seg["loss"] == pytest.approx(tr_loop["loss"], rel=1e-5)
+    assert seg_eng._fused_segments == 2 and not seg_eng._fused_disabled
+    for a, b in zip(jax.tree_util.tree_leaves(loop_eng.state.params),
+                    jax.tree_util.tree_leaves(seg_eng.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    ev_loop = loop_eng.eval_epoch(loop_ld, collect_preds=True)
+    ev_seg = seg_eng.eval_epoch(seg_ld, collect_preds=True)
+    assert ev_seg.get("fused") is True
+    assert ev_seg["loss"] == pytest.approx(ev_loop["loss"], rel=1e-5)
+    np.testing.assert_array_equal(ev_seg["preds"], ev_loop["preds"])
+    np.testing.assert_array_equal(ev_seg["targets"], ev_loop["targets"])
+    np.testing.assert_array_equal(ev_seg["confusion"], ev_loop["confusion"])
+
+
+def test_fused_compile_failure_escalates_to_segments(monkeypatch):
+    """When the whole-epoch program fails to compile, the engine escalates
+    to 4 fused segments (and only then to per-batch dispatch), with the
+    segmented epoch's numbers identical to the loop path's."""
+    engine, loader = _fused_fixture()
+    eng, ref = engine(), engine()
+    orig = eng._fused_exe
+
+    def oom_at_full_length(name, jit_fn, args, out):
+        if args[-1].shape[0] == 8:  # the whole-epoch program "OOMs"
+            return None
+        return orig(name, jit_fn, args, out)
+
+    monkeypatch.setattr(eng, "_fused_exe", oom_at_full_length)
+    ld = loader(device_text=True, num_batches=8)
+    out = eng.train_epoch(ld)
+    assert out.get("fused") is True and out["skipped_steps"] == 0
+    assert eng._fused_segments == 4 and not eng._fused_disabled
+    r = ref.train_epoch(loader(num_batches=8))
+    assert out["loss"] == pytest.approx(r["loss"], rel=1e-5)
+    assert out["accuracy"] == r["accuracy"]
+    for a, b in zip(jax.tree_util.tree_leaves(eng.state.params),
+                    jax.tree_util.tree_leaves(ref.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # eval inherits the escalated segment count and still collects preds
+    ev = eng.eval_epoch(ld, collect_preds=True)
+    ev_ref = ref.eval_epoch(loader(num_batches=8), collect_preds=True)
+    assert ev.get("fused") is True
+    np.testing.assert_array_equal(ev["preds"], ev_ref["preds"])
+    np.testing.assert_array_equal(ev["confusion"], ev_ref["confusion"])
+
+
 def test_engine_overfits_toy_corpus():
     eng, loader = _make_engine()
     first = eng.train_epoch(loader())
@@ -541,7 +604,7 @@ def test_fused_compile_failure_fallback_keeps_shuffle_order(monkeypatch):
     ref_ld = loader(shuffle=True, seed=7)
     fail_ld = loader(device_text=True, shuffle=True, seed=7)
     # every fused compile "fails"; the engine must fall back cleanly
-    monkeypatch.setattr(Engine, "_fused_call",
+    monkeypatch.setattr(Engine, "_fused_exe",
                         lambda self, sig, fn, args, pre: None)
     for _ in range(2):
         a = ref_eng.train_epoch(ref_ld)
