@@ -83,13 +83,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "workspace: 9.0 (a 6 GB train table + ~3 GB of eval "
                         "caches) fragments the heap enough that the epoch-1 "
                         "train step OOMs after the caches fill during epoch 0")
+    p.add_argument("--fused_segments", type=int, default=1,
+                   help="run each fused epoch as K scan programs of "
+                        "~num_batches/K steps instead of one whole-epoch "
+                        "program (HBM-tight configs; the engine also "
+                        "auto-escalates x4 on fused compile failure before "
+                        "falling back to per-batch dispatch)")
     p.add_argument("--val_limit", type=int, default=0,
                    help="evaluate only the first N val samples per epoch "
                         "(faster epochs; the final test pass is always full)")
     p.add_argument("--lr", "--learning-rate", dest="lr", type=float, default=5e-5)
     p.add_argument("--lrp", "--learning-rate-pretrained", dest="lrp", type=float, default=0.1)
     p.add_argument("--momentum", type=float, default=0.9)
-    p.add_argument("--weight-decay", "--wd", dest="weight_decay", type=float, default=1e-5)
+    p.add_argument("--weight-decay", "--weight_decay", "--wd",
+                   dest="weight_decay", type=float, default=1e-5)
     p.add_argument("--print-freq", "-p", dest="print_freq", type=int, default=10)
     p.add_argument("--resume", type=str, nargs="?", const="latest", default=None,
                    help="bare --resume: resume from this run's latest "
@@ -437,13 +444,14 @@ def main(argv=None) -> dict:
                     f"{got_v} rows, this corpus/config has {len(vocab)} "
                     f"(check --text_min_count/--pmi_phase)")
             print(f"initialized all weights from {args.init_from_reference}")
+        # Precedence (docs/MIGRATION.md "Day one"): --emb_type glove seeds
+        # the embedding tables at init; --init_from_reference then replaces
+        # ALL weights; --object/place_trunk_ckpt override the trunks LAST
+        # (e.g. fine-tuning a reference checkpoint with refreshed trunks).
         for side, ckpt_path, depth in (("object", args.object_trunk_ckpt, 101),
                                        ("place", args.place_trunk_ckpt, 50)):
             if not ckpt_path:
                 continue
-            if args.init_from_reference:
-                raise SystemExit("--init_from_reference already sets both "
-                                 "trunks; drop the trunk ckpt flags")
             from mgnns_tpu.nn.resnet import import_torch_state_dict
 
             sd, _ = load_torch_state_dict(ckpt_path)
@@ -505,6 +513,7 @@ def main(argv=None) -> dict:
         seed=args.seed,
         checkpoint_dir=os.path.join(args.save_model_path, args.model_name),
         max_to_keep=args.max_to_keep, mesh=mesh, param_sharding_rules=rules,
+        fused_segments=args.fused_segments,
     )
 
     eval_batch = loader_batch
