@@ -20,12 +20,46 @@ import numpy as np
 import pytest
 
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+FUSED_WORKER = os.path.join(os.path.dirname(__file__), "multihost_fused_worker.py")
 
 
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
+
+
+def _run_workers(worker, tmp_path, n=2):
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(n):
+        env = dict(os.environ)
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": str(n),
+            "JAX_PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "PYTHONPATH": os.path.dirname(os.path.dirname(worker)),
+        })
+        out = tmp_path / f"worker{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(out)],
+            env=env, cwd=os.path.dirname(os.path.dirname(worker)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process SPMD hung (collective mismatch?)")
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    return [json.loads(o.read_text()) for o in outs]
 
 
 @pytest.mark.slow
@@ -80,3 +114,50 @@ def test_two_process_spmd_train_step(tmp_path):
     np.testing.assert_allclose(
         [s[1] for s in sorted(a["emb_local_shards"])],
         [s[1] for s in sorted(b["emb_local_shards"])], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_fused_input_path_matches_single_device(tmp_path):
+    """The SPMD fused input path ACROSS PROCESSES: 2 coordinated controllers
+    shard the device-resident text tables position-major over a global
+    ('data'=2,'model'=2) mesh, run fused eval/train/eval epochs, and their
+    epoch metrics must be identical to a single-device run of the same split
+    (round-3 verdict item 1's done-criterion)."""
+    a, b = _run_workers(FUSED_WORKER, tmp_path)
+    assert a["process"] == 0 and b["process"] == 1
+    assert a["slice"] == [0, 5] and b["slice"] == [5, 9]
+
+    # both controllers agree on every global quantity
+    np.testing.assert_array_equal(a["eval_confusion"], b["eval_confusion"])
+    assert a["eval_loss"] == pytest.approx(b["eval_loss"], rel=1e-6)
+    assert a["train_loss"] == pytest.approx(b["train_loss"], rel=1e-6)
+    np.testing.assert_array_equal(a["post_confusion"], b["post_confusion"])
+    assert a["head_w_sum"] == pytest.approx(b["head_w_sum"], rel=1e-6)
+
+    # ... and the multi-process eval epoch equals a single-device run
+    import jax
+
+    from multihost_fused_worker import (
+        FakeTextDS, GLOBAL_BATCH, N, apply_fn_factory,
+    )
+    from mgnns_tpu.data.loader import DeviceLoader
+    from mgnns_tpu.engine.train import Engine
+    from mgnns_tpu.models import text_model_init
+    import multihost_fused_worker as W
+
+    ds = FakeTextDS()  # the full split
+    params = text_model_init(jax.random.key(0), W.V, W.C, W.E)
+    eng = Engine(apply_fn_factory(), params, {}, num_classes=W.C, lr=1e-2,
+                 steps_per_epoch=3)
+    ref = eng.eval_epoch(
+        DeviceLoader(ds, GLOBAL_BATCH, with_images=False, device_text=True),
+        collect_preds=True)
+    np.testing.assert_array_equal(np.asarray(a["eval_confusion"]),
+                                  np.asarray(ref["confusion"]))
+    assert a["eval_loss"] == pytest.approx(ref["loss"], rel=1e-5)
+    # per-sample predictions: the two hosts' blocks together equal the
+    # single-device predictions, sample by sample
+    got = {**a["preds"], **b["preds"]}
+    want = {str(int(i)): int(p)
+            for i, p in zip(ref["sample_index"], ref["preds"])}
+    assert got == want and len(got) == N
