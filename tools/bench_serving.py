@@ -14,7 +14,7 @@ Protocol per model:
     concurrent clients x R requests (1 record each) -> p50/p99 wall
     latency + aggregate requests/s (micro-batching coalesces them).
 
-Writes results/r3/serving_bench.json.  One TPU process at a time.
+Writes results/r4/serving_bench.json.  One TPU process at a time.
 """
 
 import json
@@ -160,6 +160,7 @@ def main():
     text_ckpt = train_text_ckpt(tmp)
     pred_t = Predictor.from_engine_artifacts(
         REF, text_ckpt, text_only=True, pmi_phase="val", max_batch=16)
+    pred_t.warm()  # production path (cli/serve.py): all buckets precompiled
     results["text"] = {
         "direct": bench_direct(pred_t, "text"),
         "http": bench_http(pred_t, "text"),
@@ -174,12 +175,14 @@ def main():
     pred_f = Predictor.from_engine_artifacts(
         REF, fusion_ckpt, pmi_phase="val", max_batch=16,
         image_backend="synthetic", strict_images=False)
+    pred_f.warm()
     results["fusion"] = {
         "direct": bench_direct(pred_f, "fusion", n_iters=25),
         "http": bench_http(pred_f, "fusion", clients=8, reqs_per_client=10),
     }
 
-    outp = os.path.join(ROOT, "results", "r3", "serving_bench.json")
+    outp = os.path.join(ROOT, "results", "r4", "serving_bench.json")
+    os.makedirs(os.path.dirname(outp), exist_ok=True)
     with open(outp, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
