@@ -631,21 +631,36 @@ def main(argv=None) -> dict:
         "label_names": list(json.load(open(os.path.join(args.data_root_path, "label.json")))),
     }
 
-    if args.evaluate:
-        res = engine.learning(
-            loader(train_ds, True), loader(val_ds, False),
-            loader(test_ds, False, reused=(test_ds is val_ds)),
-            max_epochs=args.epochs, resume=resume_latest,
-            log_every=args.print_freq, result_paths=result_paths, run_config=run_config,
-            profile_dir=args.profile_dir, metrics_path=args.metrics_path,
-        )
-    else:
-        res = engine.learning(
-            loader(train_ds, True), loader(val_ds, False), None,
-            max_epochs=args.epochs, resume=resume_latest,
-            log_every=args.print_freq, profile_dir=args.profile_dir,
-            metrics_path=args.metrics_path,
-        )
+    try:
+        if args.evaluate:
+            res = engine.learning(
+                loader(train_ds, True), loader(val_ds, False),
+                loader(test_ds, False, reused=(test_ds is val_ds)),
+                max_epochs=args.epochs, resume=resume_latest,
+                log_every=args.print_freq, result_paths=result_paths, run_config=run_config,
+                profile_dir=args.profile_dir, metrics_path=args.metrics_path,
+            )
+        else:
+            res = engine.learning(
+                loader(train_ds, True), loader(val_ds, False), None,
+                max_epochs=args.epochs, resume=resume_latest,
+                log_every=args.print_freq, profile_dir=args.profile_dir,
+                metrics_path=args.metrics_path,
+            )
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" in str(e) and (args.device_images
+                                               or args.device_text):
+            # measured boundary: full fine-tune at 448px needs ~9.3 GB of
+            # step workspace, so a 6 GB resident pixel table cannot coexist
+            # on a 16 GB chip even per-batch (results/r4, seg448 probe)
+            raise SystemExit(
+                "out of device HBM: the resident input tables plus the "
+                "train-step workspace exceed device memory at this config. "
+                "Options: drop --device_images (per-batch pixel upload), "
+                "lower --device_images_budget_gb, or shrink the step "
+                "(--freeze_trunks, --remat_policy block, smaller -b or "
+                "--image_size).") from e
+        raise
     return res
 
 

@@ -56,6 +56,47 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, weights: jnp.ndarray
     return -(ll * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
+# Per-chip HBM by device kind, for backends whose memory_stats() is
+# unavailable (the axon tunnel returns None).  Slight underestimates are
+# fine — the fused-epoch memory guard applies its own safety fraction.
+_DEVICE_HBM_BYTES = {
+    "TPU v5 lite": 16e9,          # v5e
+    "TPU v4 lite": 8e9,           # v4i
+    "TPU v4": 32e9,
+    "TPU v6 lite": 32e9,          # v6e / Trillium
+    "TPU v3": 16e9,
+    "TPU v2": 8e9,
+}
+
+
+def _device_memory_limit() -> float | None:
+    """Usable device memory in bytes, or None when unknown.  Order:
+    MGNNS_HBM_BYTES env override, memory_stats(), device-kind table."""
+    env = os.environ.get("MGNNS_HBM_BYTES")
+    if env:
+        return float(env)
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return None
+    try:
+        stats = dev.memory_stats()
+        if stats:
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit")
+            if limit:
+                return float(limit)
+    except Exception:
+        pass
+    if dev.platform != "tpu":
+        return None  # CPU/GPU hosts: no static-HBM semantics to guard
+    kind = getattr(dev, "device_kind", "")
+    for prefix, size in _DEVICE_HBM_BYTES.items():
+        if kind.startswith(prefix):
+            return size
+    return None
+
+
 class Engine:
     def __init__(
         self,
@@ -134,6 +175,7 @@ class Engine:
         # fallback; sticky across epochs so the failing compile isn't
         # retried every epoch.
         self._fused_segments = max(1, int(fused_segments))
+        self._last_fused_need = None  # analyzed bytes of the last refused rung
 
     # ------------------------------------------------------------------ jit
 
@@ -265,13 +307,57 @@ class Engine:
             self._fused_fns[key] = self._build_fused(dict(rs), mesh)
         return key, self._fused_fns[key]
 
+    # Fraction of device memory a fused program's analyzed peak may claim
+    # before the engine refuses to RUN it (and escalates the segment
+    # ladder).  A compile can succeed for a program whose execution then
+    # hard-crashes the TPU worker (observed: fusion train at 448px with the
+    # full 6 GB pixel table — compile passed, the first run killed the
+    # worker process, unrecoverable in-process), so compile success alone
+    # is not a safe gate.
+    FUSED_MEM_FRACTION = 0.94
+
+    def _fused_fits(self, exe) -> str:
+        """Predicted peak footprint of a compiled fused program vs device
+        memory: 'ok', 'retry' (over budget, a shorter program may differ),
+        or 'hopeless' (argument + output buffers alone exceed the budget —
+        tables and the train-state carry don't shrink with the segment
+        count, so escalation is pointless).  Conservative by design: a
+        false 'too big' costs one ladder rung, a false 'fits' costs the
+        whole process (observed: a compile-passing fusion train epoch at
+        448px with the full 6 GB pixel table hard-crashed the TPU worker)."""
+        try:
+            ma = exe.memory_analysis()
+            fixed = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                     - ma.alias_size_in_bytes)
+            need = fixed + ma.temp_size_in_bytes
+        except Exception:
+            return "ok"
+        limit = _device_memory_limit()
+        if not limit:
+            return "ok"
+        budget = self.FUSED_MEM_FRACTION * limit
+        if need > budget:
+            print(f"  [fused-epoch] program needs ~{need / 1e9:.2f} GB of "
+                  f"{limit / 1e9:.2f} GB HBM; not running it")
+            # temps are per-iteration workspace, mostly scan-length
+            # independent (measured: the 448px train epoch analyzed 15.35 GB
+            # at 1, 4, AND 16 segments) — if a shorter program didn't shrink
+            # the need, further rungs are doomed; stop paying their compiles
+            prev = self._last_fused_need
+            self._last_fused_need = need
+            if fixed > budget or (prev is not None and need >= 0.98 * prev):
+                return "hopeless"
+            return "retry"
+        return "ok"
+
     def _fused_exe(self, name, jit_fn, args, out: dict):
         """AOT-compile the fused epoch program (cached per input signature)
         so compile time is reported separately (``compile_seconds``) instead
         of silently deflating epoch-0 samples/s.  Returns the compiled
         executable, or None when compilation fails (e.g. XLA HBM OOM: the
         tables + step workspace must coexist in the program's static
-        allocation; nothing was donated, so falling back is safe)."""
+        allocation; nothing was donated, so falling back is safe) or when
+        the compiled program's analyzed memory would not safely fit."""
         sig = (name, str(jax.tree_util.tree_map(
             lambda x: (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x)))),
             args)))
@@ -285,6 +371,9 @@ class Engine:
                       f"{args[-1].shape[0]} batches/program "
                       f"({type(e).__name__})")
                 return None
+            fit = self._fused_fits(exe)
+            if fit != "ok":
+                return fit  # 'retry' escalates the ladder; 'hopeless' ends it
             out["compile_seconds"] = (
                 out.get("compile_seconds", 0.0) + time.time() - t0)
             self._fused_cache[sig] = exe
@@ -321,12 +410,13 @@ class Engine:
                 print("  [fused-epoch] segmentation exhausted; falling back "
                       "to per-batch execution for this engine")
                 return None
-            exes = []
+            exes, hopeless = [], False
             for s in segs:
                 args = lead_args + (plan["tables"], plan["idx"][s],
                                     plan["weight"][s])
                 exe = self._fused_exe(name, jit_fn, args, pre)
-                if exe is None:
+                if exe is None or isinstance(exe, str):
+                    hopeless = exe == "hopeless"
                     break
                 exes.append(exe)
             if len(exes) == len(segs):
@@ -334,6 +424,11 @@ class Engine:
                     print(f"  [fused-epoch] running {len(segs)} fused "
                           f"segment(s) of <= {-(-nb // len(segs))} batches")
                 return segs, exes
+            if hopeless:
+                self._fused_disabled = True
+                print("  [fused-epoch] fixed buffers alone exceed HBM; "
+                      "falling back to per-batch execution for this engine")
+                return None
             failed_at = len(segs)
             self._fused_segments = min(max(nb, 1),
                                        max(self._fused_segments, 1) * 4)

@@ -411,6 +411,38 @@ def test_fused_compile_failure_escalates_to_segments(monkeypatch):
     np.testing.assert_array_equal(ev["confusion"], ev_ref["confusion"])
 
 
+def test_fused_memory_guard_escalates_then_runs(monkeypatch):
+    """A compiled program whose ANALYZED memory exceeds the device budget
+    must not run (compile success alone is not a safe gate — an over-budget
+    run can hard-crash the TPU worker); 'retry' escalates the ladder and
+    the segmented epoch still matches the loop path."""
+    engine, loader = _fused_fixture()
+    eng, ref = engine(), engine()
+    verdicts = iter(["retry"])  # first fresh compile over budget, rest ok
+    monkeypatch.setattr(eng, "_fused_fits",
+                        lambda exe: next(verdicts, "ok"))
+    ld = loader(device_text=True, num_batches=8)
+    out = eng.train_epoch(ld)
+    assert out.get("fused") is True
+    assert eng._fused_segments == 4 and not eng._fused_disabled
+    r = ref.train_epoch(loader(num_batches=8))
+    assert out["loss"] == pytest.approx(r["loss"], rel=1e-5)
+
+
+def test_fused_memory_guard_hopeless_streams(monkeypatch):
+    """'hopeless' (argument/output buffers alone exceed the budget — no
+    segment count can shrink tables or the train-state carry) must skip the
+    ladder entirely and fall back to per-batch execution."""
+    engine, loader = _fused_fixture()
+    eng, ref = engine(), engine()
+    monkeypatch.setattr(eng, "_fused_fits", lambda exe: "hopeless")
+    ld = loader(device_text=True)
+    out = eng.train_epoch(ld)
+    assert out.get("fused") is None and eng._fused_disabled
+    r = ref.train_epoch(loader())
+    assert out["loss"] == pytest.approx(r["loss"], rel=1e-5)
+
+
 def test_engine_overfits_toy_corpus():
     eng, loader = _make_engine()
     first = eng.train_epoch(loader())
