@@ -529,6 +529,14 @@ def main(argv=None) -> dict:
     if args.device_text and args.multihost and mesh is None:
         raise SystemExit("--device_text under --multihost needs a mesh "
                          "(--mesh_data/--mesh_model) for SPMD table sharding")
+    if args.device_images and not args.device_text and mesh is not None:
+        # the SPMD fused epoch gathers ALL inputs from sharded tables; with
+        # pixels resident but text streaming there is no fused plan, so the
+        # granted tables would silently never be used (pixels would re-ship
+        # per batch — the exact path the tables exist to avoid)
+        raise SystemExit("--device_images under a mesh requires "
+                         "--device_text (the fused SPMD epoch gathers all "
+                         "inputs from device-resident tables)")
     # HBM budgeting is per CHIP: under a mesh the tables shard over the
     # 'data' axis, so each device holds only its position's rows
     data_shards = mesh.shape["data"] if mesh is not None else 1

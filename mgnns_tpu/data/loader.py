@@ -183,7 +183,10 @@ class DeviceLoader:
         self.device_text = device_text
         self._text_tables = None
         self._input_plan = None
-        if mesh is not None and (device_text or device_images):
+        # an SPMD plan exists only when the fused epoch can actually use it
+        # (text tables are required; pixels ride along when device_images) —
+        # a mesh + device_images-only loader streams host batches instead
+        if mesh is not None and device_text:
             from mgnns_tpu.parallel.input import make_input_plan
 
             self._input_plan = make_input_plan(
@@ -479,7 +482,10 @@ class DeviceLoader:
             "row_shapes": row_shapes,
             "mesh": plan.mesh,
             "sharded": True,
-            "n_samples": plan.n_global,
+            # the REAL processed count: equals n_global under multihost, but
+            # a single-process pre-sliced dataset (n_local < global_len)
+            # only processes its slice
+            "n_samples": int(plan.position_valid.sum()),
             "batch_weight_sums": wsums,
             "weight_host": wt,
             "labels": self.ds.labels[rows],

@@ -259,18 +259,10 @@ class Engine:
 
             gather = sharded_gather_fn(mesh, row_shapes)
         else:
+            from mgnns_tpu.parallel.input import table_row_gather
+
             def gather(tables, idx, weight):
-                # 2D-reshaped row gather: XLA:TPU lowers the native N-d row
-                # gather ~4x slower for large rows (27.3 vs 7.1 ms for 128
-                # rows of 448px uint8); the small-table reshapes are free
-                # inside the program, and flat-stored tables (row_shapes)
-                # skip it entirely
-                batch = {}
-                for k, v in tables.items():
-                    flat = v if k in row_shapes else v.reshape(v.shape[0], -1)
-                    rows = jnp.take(flat, idx, axis=0)
-                    shape = row_shapes.get(k, v.shape[1:])
-                    batch[k] = rows.reshape((idx.shape[0],) + tuple(shape))
+                batch = table_row_gather(tables, idx, row_shapes)
                 batch["weight"] = weight
                 return batch
 
@@ -379,16 +371,16 @@ class Engine:
             self._fused_cache[sig] = exe
         return exe
 
-    def _fused_segment_slices(self, nb: int) -> list[slice] | None:
+    def _fused_segment_slices(self, nb: int) -> list[slice]:
         """Row slices of the epoch's [nb, B] index/weight matrices under the
-        current segment count (``self._fused_segments``); equal ceil-length
-        segments, so at most TWO distinct compiled shapes (body + remainder).
-        None once segmentation is exhausted (segments of a single batch)."""
-        K = self._fused_segments
+        current segment count (capped at ``nb`` — a short epoch, e.g. a
+        small val split after train escalated, just runs shorter fused
+        programs rather than disabling fusion engine-wide); equal
+        ceil-length segments, so at most TWO distinct compiled shapes
+        (body + remainder)."""
+        K = min(max(1, self._fused_segments), nb)
         if K <= 1:
             return [slice(0, nb)]
-        if K >= nb > 1:
-            return None
         q = -(-nb // K)
         return [slice(i, min(i + q, nb)) for i in range(0, nb, q)]
 
@@ -403,9 +395,10 @@ class Engine:
         Returns (segments, exes) or None (per-batch fallback)."""
         nb = int(plan["idx"].shape[0])
         failed_at = -1
+        self._last_fused_need = None  # need comparisons are per-ladder only
         while True:
             segs = self._fused_segment_slices(nb)
-            if segs is None or len(segs) == failed_at:
+            if len(segs) == failed_at:
                 self._fused_disabled = True
                 print("  [fused-epoch] segmentation exhausted; falling back "
                       "to per-batch execution for this engine")
@@ -445,7 +438,13 @@ class Engine:
         if self._fused_disabled:
             return None
         plan_fn = getattr(loader, "epoch_plan", None)
-        plan = plan_fn() if plan_fn is not None else None
+        if plan_fn is None:
+            return None
+        if self.mesh is not None and getattr(loader, "_input_plan", None) is None:
+            # a default-device loader can't feed mesh-sharded steps; refuse
+            # BEFORE epoch_plan() materializes (and uploads) its tables
+            return None
+        plan = plan_fn()
         if plan is not None and self.mesh is not None and not plan.get("sharded"):
             loader.rewind_epoch()  # give the consumed epoch back
             return None
@@ -477,7 +476,10 @@ class Engine:
         # D2H loss readback = true completion barrier (block_until_ready can
         # return early on a network-attached TPU, docs/PERFORMANCE.md)
         loss_values = np.asarray(losses).astype(np.float64).tolist()
-        dt = time.time() - t0 - pre.get("compile_seconds", 0.0)
+        # t0 starts AFTER _fused_epoch_exes, so compile time is already
+        # excluded from the execution clock (it is reported separately
+        # in compile_seconds)
+        dt = time.time() - t0
         out = M.metrics_from_confusion(cm)
         out.update(pre)
         self._finish_losses(out, loss_values)
@@ -508,7 +510,10 @@ class Engine:
             seg_preds.append(ps)
         losses = seg_losses[0] if len(seg_losses) == 1 else jnp.concatenate(seg_losses)
         cm_host = np.asarray(cm)  # D2H readback = true completion barrier
-        dt = time.time() - t0 - pre.get("compile_seconds", 0.0)
+        # t0 starts AFTER _fused_epoch_exes, so compile time is already
+        # excluded from the execution clock (it is reported separately
+        # in compile_seconds)
+        dt = time.time() - t0
         out = M.metrics_from_confusion(cm_host)
         out.update(pre)
         lv = np.asarray(losses, np.float64)
@@ -521,6 +526,7 @@ class Engine:
         if n is None:
             n = int(plan["weight"].sum())
         out["samples_per_sec"] = n / dt if dt > 0 else 0.0
+        out["epoch_seconds"] = dt
         out["confusion"] = cm_host
         out["fused"] = True
         if collect_preds and plan.get("sharded"):

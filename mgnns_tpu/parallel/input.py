@@ -252,6 +252,23 @@ def epoch_index_plan(plan: InputPlan, epoch: int, seed: int, shuffle: bool):
 
 # ----------------------------------------------------------------- the gather
 
+def table_row_gather(tables: dict, idx, row_shapes: dict) -> dict:
+    """Batch-gather rows ``idx`` from every table, via the 2D-reshaped form:
+    XLA:TPU lowers the native N-d row gather ~4x slower for large rows
+    (27.3 vs 7.1 ms for 128 rows of 448px uint8); the small-table reshapes
+    are free inside the program, and flat-stored tables (``row_shapes``,
+    mapping key -> logical per-row shape — see ``data/loader._take_rows``)
+    skip the reshape entirely.  Shared by the single-device fused epoch
+    (``engine/train.py``) and the shard-local body below."""
+    out = {}
+    for k, v in tables.items():
+        flat = v if k in row_shapes else v.reshape(v.shape[0], -1)
+        taken = jnp.take(flat, idx, axis=0)
+        shape = tuple(row_shapes.get(k, v.shape[1:]))
+        out[k] = taken.reshape((idx.shape[0],) + shape)
+    return out
+
+
 def sharded_gather_fn(mesh: Mesh, row_shapes: dict):
     """A batch-gather for ``P('data', ...)``-sharded tables, collective-free:
     ``shard_map`` hands every device its table shard plus its index block and
@@ -265,13 +282,7 @@ def sharded_gather_fn(mesh: Mesh, row_shapes: dict):
     """
     def gather(tables, idx, weight):
         def local(tabs, idx_l):
-            out = {}
-            for k, v in tabs.items():
-                flat = v if k in row_shapes else v.reshape(v.shape[0], -1)
-                taken = jnp.take(flat, idx_l, axis=0)
-                shape = tuple(row_shapes.get(k, v.shape[1:]))
-                out[k] = taken.reshape((idx_l.shape[0],) + shape)
-            return out
+            return table_row_gather(tabs, idx_l, row_shapes)
 
         in_specs = (
             {k: P("data", *([None] * (v.ndim - 1))) for k, v in tables.items()},

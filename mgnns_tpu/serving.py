@@ -33,6 +33,32 @@ from mgnns_tpu.graphs.pmi import PmiGraph
 from mgnns_tpu.graphs.vocab import make_word_to_id
 
 
+def resolve_batch_buckets(requested: list[int] | None, max_batch: int,
+                          dsize: int = 1) -> list[int]:
+    """Batch-size bucket ladder: a request for n records runs the smallest
+    compiled batch >= n instead of always paying the full ``max_batch``
+    forward (a 1-record fusion request was 16x the needed compute).  Each
+    bucket is one jit specialization; ``Predictor.warm()`` precompiles them.
+
+    Defaults to powers of 4 of the smallest mesh-divisible size, so every
+    'data' axis gets real small-request buckets (starting at 1 and
+    FILTERING by divisibility would degenerate to [max_batch] for e.g.
+    dsize=8 or any non-power-of-4 axis)."""
+    if requested is None:
+        requested = []
+        b = max(1, dsize)
+        while b < max_batch:
+            requested.append(b)
+            b *= 4
+    buckets = sorted({int(b) for b in requested} | {max_batch})
+    for b in buckets:
+        if b > max_batch or b % max(1, dsize) != 0:
+            raise ValueError(
+                f"batch bucket {b} invalid (max_batch {max_batch}, "
+                f"mesh data axis {dsize})")
+    return buckets
+
+
 class Predictor:
     def __init__(
         self,
@@ -106,20 +132,7 @@ class Predictor:
         # forward (a 1-record fusion request was 16x the needed compute).
         # Each bucket is one jit specialization; ``warm()`` precompiles them.
         dsize = int(mesh.shape.get("data", 1)) if mesh is not None else 1
-        if batch_buckets is None:
-            batch_buckets = []
-            b = 1
-            while b < max_batch:
-                if b % dsize == 0:
-                    batch_buckets.append(b)
-                b *= 4
-        buckets = sorted({int(b) for b in batch_buckets} | {max_batch})
-        for b in buckets:
-            if b > max_batch or b % dsize != 0:
-                raise ValueError(
-                    f"batch bucket {b} invalid (max_batch {max_batch}, "
-                    f"mesh data axis {dsize})")
-        self.batch_buckets = buckets
+        self.batch_buckets = resolve_batch_buckets(batch_buckets, max_batch, dsize)
 
     # ------------------------------------------------------------- preproc
 

@@ -197,6 +197,27 @@ def test_cli_mesh_device_text_fused(tmp_path):
     assert len(pred) == 65
 
 
+def test_cli_mesh_device_images_requires_device_text(tmp_path):
+    """--device_images under a mesh without --device_text must refuse
+    loudly: without text tables there is no fused SPMD plan, so the granted
+    pixel tables would silently never be used (pixels would re-ship per
+    batch — the exact path the tables exist to avoid)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from mgnns_tpu.cli.main import main
+
+    with pytest.raises(SystemExit, match="requires --device_text"):
+        main([
+            "--data_root_path", REF, "--pmi_phase", "val",
+            "--train_phase", "val", "--val_phase", "val",
+            "--text_only", "--epochs", "1", "-b", "32", "--limit_samples", "64",
+            "--device_images", "--mesh_data", "4", "--mesh_model", "2",
+            "--save_model_path", str(tmp_path / "ckpt"),
+        ])
+
+
 def test_cli_eval_batch_size(tmp_path):
     """--eval_batch_size decouples val/test batches from the train batch."""
     from mgnns_tpu.cli.main import main

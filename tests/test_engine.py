@@ -411,6 +411,26 @@ def test_fused_compile_failure_escalates_to_segments(monkeypatch):
     np.testing.assert_array_equal(ev["confusion"], ev_ref["confusion"])
 
 
+def test_fused_segments_cap_at_short_epochs():
+    """A sticky escalated segment count (e.g. train escalated to 4 on an
+    HBM-tight compile) must NOT disable fusion for a shorter epoch (a small
+    val split): the count caps at the epoch's batch count and the fused
+    path still runs (regression: returning None here disabled the fused
+    path engine-wide before any compile was attempted)."""
+    engine, loader = _fused_fixture()
+    eng, ref = engine(), engine()
+    eng._fused_segments = 4
+    ld = loader(device_text=True)  # 6 samples / batch 3 -> nb=2 < K=4
+    out = eng.eval_epoch(ld, collect_preds=True)
+    assert out.get("fused") is True and not eng._fused_disabled
+    assert out["epoch_seconds"] >= 0  # compile time must not be
+    # double-subtracted (it is excluded from t0 AND reported separately)
+    assert out["samples_per_sec"] > 0
+    r = ref.eval_epoch(loader(), collect_preds=True)
+    np.testing.assert_array_equal(out["preds"], r["preds"])
+    np.testing.assert_array_equal(out["confusion"], r["confusion"])
+
+
 def test_fused_memory_guard_escalates_then_runs(monkeypatch):
     """A compiled program whose ANALYZED memory exceeds the device budget
     must not run (compile success alone is not a safe gate — an over-budget

@@ -57,6 +57,23 @@ def test_predictor_batch_padding(trained_ckpt):
     assert single[0]["label"] == out[0]["label"]
 
 
+def test_resolve_batch_buckets_mesh_divisibility():
+    """Default bucket ladders must give REAL small-request buckets for
+    every mesh data-axis size (regression: filtering powers of 4 by
+    divisibility degenerated to [max_batch] for dsize=8 or dsize=3)."""
+    from mgnns_tpu.serving import resolve_batch_buckets
+
+    assert resolve_batch_buckets(None, 16, 1) == [1, 4, 16]
+    assert resolve_batch_buckets(None, 16, 8) == [8, 16]
+    assert resolve_batch_buckets(None, 24, 3) == [3, 12, 24]
+    assert resolve_batch_buckets(None, 64, 4) == [4, 16, 64]
+    assert resolve_batch_buckets([2, 8], 16, 2) == [2, 8, 16]
+    with pytest.raises(ValueError):
+        resolve_batch_buckets([5], 16, 2)  # not mesh-divisible
+    with pytest.raises(ValueError):
+        resolve_batch_buckets([32], 16, 1)  # above max_batch
+
+
 def test_predictor_batch_buckets(trained_ckpt):
     """Bucketed batch slots: a small request runs a small compiled batch,
     and every bucket size produces identical predictions (padding rows are

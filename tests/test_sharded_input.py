@@ -135,6 +135,20 @@ def test_sharded_fused_train_runs_on_data_parallel_mesh():
     assert int(np.asarray(ev["confusion"]).sum()) == 13
 
 
+def test_presliced_dataset_reports_real_sample_count():
+    """A single-process loader over a PRE-SLICED dataset (global_len larger
+    than the local slice) must account only the samples it processes —
+    n_samples/samples_per_sec come from the plan's position_valid, not the
+    global split size (regression: 2x-inflated throughput)."""
+    ds = _FakeTextDS(n=6)
+    ds.global_len = 12  # pretend this is half of a larger split
+    mesh = create_mesh(data=2, model=1)
+    plan = _loader(ds, mesh, B=2).epoch_plan()
+    assert plan["n_samples"] == 6
+    ev = _engine(mesh=mesh, ds=ds, B=2).eval_epoch(_loader(ds, mesh, B=2))
+    assert int(np.asarray(ev["confusion"]).sum()) == 6
+
+
 def test_mesh_engine_rejects_default_device_plan():
     """A default-device epoch plan must NOT feed a mesh engine's fused path —
     the engine falls back to streaming and rewinds the consumed epoch."""
