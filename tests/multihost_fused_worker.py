@@ -16,6 +16,7 @@ import json
 import sys
 
 N, GLOBAL_BATCH, L, W, V, E, C = 9, 4, 8, 5, 41, 57, 3
+IMG = 6  # tiny pixel rows: the flagship path is text AND image tables
 
 
 def make_data(n=N, seed=11):
@@ -42,6 +43,8 @@ class FakeTextDS:
         self.labels = labels[lo:hi]
         self.global_len = global_len
         self.offset = lo
+        self.image_size = IMG
+        self.pixel_format = "float32"
 
     def __len__(self):
         return len(self.labels)
@@ -49,13 +52,28 @@ class FakeTextDS:
     def cacheable_images(self):
         return True
 
+    def load_image(self, i, rng=None):
+        """Deterministic by GLOBAL sample id, so every process's shard and
+        the parent's single-device reference see identical pixels."""
+        import numpy as np
+
+        r = np.random.default_rng(500 + self.offset + int(i))
+        return r.standard_normal((IMG, IMG, 3)).astype(np.float32)
+
 
 def apply_fn_factory():
+    import jax.numpy as jnp
+
     from mgnns_tpu.models import text_model_apply
 
     def apply_fn(p, bs, batch, *, train, rng):
-        return text_model_apply(p, batch, ngram=2, train=train, rng=rng,
-                                dropout_rate=0.0), bs
+        logits = text_model_apply(p, batch, ngram=2, train=train, rng=rng,
+                                  dropout_rate=0.0)
+        # fold a per-sample pixel statistic in so the sharded IMAGE table
+        # affects loss, preds, and gradients — a wrong pixel-gather row
+        # cannot hide (same device as test_engine's image fixture)
+        bump = jnp.mean(batch["image"].astype(jnp.float32), axis=(1, 2, 3))
+        return logits + bump[:, None], bs
 
     return apply_fn
 
@@ -90,8 +108,9 @@ def main():
 
     def loader(shuffle):
         return DeviceLoader(
-            ds, per_host, shuffle=shuffle, with_images=False,
-            device_text=True, mesh=mesh, num_batches=num_batches,
+            ds, per_host, shuffle=shuffle, with_images=True,
+            device_text=True, device_images=True, mesh=mesh,
+            num_batches=num_batches,
             device_put=lambda b: host_local_to_global(b, mesh, _BATCH_FIELDS))
 
     params = text_model_init(jax.random.key(0), V, C, E)

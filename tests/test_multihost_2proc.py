@@ -150,7 +150,8 @@ def test_two_process_fused_input_path_matches_single_device(tmp_path):
     eng = Engine(apply_fn_factory(), params, {}, num_classes=W.C, lr=1e-2,
                  steps_per_epoch=3)
     ref = eng.eval_epoch(
-        DeviceLoader(ds, GLOBAL_BATCH, with_images=False, device_text=True),
+        DeviceLoader(ds, GLOBAL_BATCH, with_images=True, device_text=True,
+                     device_images=True),
         collect_preds=True)
     np.testing.assert_array_equal(np.asarray(a["eval_confusion"]),
                                   np.asarray(ref["confusion"]))
