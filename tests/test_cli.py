@@ -218,6 +218,25 @@ def test_cli_mesh_device_images_requires_device_text(tmp_path):
         ])
 
 
+def test_cli_mesh_batch_divisibility(tmp_path):
+    """Batch sizes that don't divide the 'data' axis must refuse with a
+    clear message instead of a deep sharding traceback."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from mgnns_tpu.cli.main import main
+
+    with pytest.raises(SystemExit, match="must divide by --mesh_data"):
+        main([
+            "--data_root_path", REF, "--pmi_phase", "val",
+            "--train_phase", "val", "--val_phase", "val",
+            "--text_only", "--epochs", "1", "-b", "30",
+            "--mesh_data", "4", "--mesh_model", "2",
+            "--save_model_path", str(tmp_path / "ckpt"),
+        ])
+
+
 def test_cli_eval_batch_size(tmp_path):
     """--eval_batch_size decouples val/test batches from the train batch."""
     from mgnns_tpu.cli.main import main
