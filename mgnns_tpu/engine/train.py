@@ -418,9 +418,13 @@ class Engine:
                           f"segment(s) of <= {-(-nb // len(segs))} batches")
                 return segs, exes
             if hopeless:
+                # either the fixed buffers (tables/state) alone exceed the
+                # budget, or a shorter program didn't shrink the need —
+                # more segments can't help in either case
                 self._fused_disabled = True
-                print("  [fused-epoch] fixed buffers alone exceed HBM; "
-                      "falling back to per-batch execution for this engine")
+                print("  [fused-epoch] fused programs exceed HBM at every "
+                      "viable length; falling back to per-batch execution "
+                      "for this engine")
                 return None
             failed_at = len(segs)
             self._fused_segments = min(max(nb, 1),
