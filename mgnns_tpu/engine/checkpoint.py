@@ -28,12 +28,51 @@ class Checkpointer:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        if jax.process_count() > 1:
+            self._verify_shared_directory()
         self.max_to_keep = max_to_keep
         self._best_path = os.path.join(self.directory, "best.json")
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=None),
         )
+
+    def _verify_shared_directory(self) -> None:
+        """Fail fast (on EVERY process, so nobody is left waiting at a
+        barrier) if the checkpoint directory is not one filesystem path
+        visible to all processes.
+
+        Orbax coordinates a single global save across processes; if each
+        process points at its own directory the cross-process barriers
+        deadlock — observed as a silent hang in the first epoch's save of
+        a 2-process CLI run.  Probe: process 0 writes a token into the
+        directory, every process must read that exact token back.
+        """
+        from jax.experimental import multihost_utils
+
+        token = int.from_bytes(os.urandom(4), "little") & 0x7FFFFFFF
+        token = int(multihost_utils.broadcast_one_to_all(np.int32(token)))
+        probe = os.path.join(self.directory, ".shared_fs_probe")
+        if jax.process_index() == 0:
+            with open(probe, "w") as f:
+                f.write(str(token))
+        multihost_utils.sync_global_devices("mgnns_ckpt_dir_probe_write")
+        try:
+            with open(probe) as f:
+                ok = int(f.read()) == token
+        except (FileNotFoundError, ValueError):
+            ok = False
+        all_ok = bool(multihost_utils.process_allgather(np.asarray(ok)).all())
+        if not all_ok:
+            raise RuntimeError(
+                f"checkpoint directory {self.directory!r} is not shared "
+                f"across the {jax.process_count()} processes (process 0's "
+                "probe file was not visible everywhere). Multihost "
+                "checkpointing needs one directory on a filesystem every "
+                "host can reach (NFS/GCS fuse/...); per-host local paths "
+                "deadlock the coordinated Orbax save.")
+        if jax.process_index() == 0:
+            os.remove(probe)
 
     # ----------------------------------------------------------------- best
 

@@ -1,0 +1,80 @@
+"""Worker for the multi-process CLI integration test.
+
+Launched (2x) by tests/test_multihost_2proc.py.  Each process runs the FULL
+training CLI — ``mgnns_tpu.cli.main`` with ``--multihost --mesh_data 2
+--mesh_model 2 --device_text`` — over the real reference val/test splits
+(limited to 48 records), exercising the whole wiring: jax.distributed
+init, per-host record slices, the SPMD table-sharded fused input path,
+forced epoch lengths, sharded metrics, and the reference-format result
+dumps.  lr/wd/dropout are zeroed so every metric is a pure evaluation —
+batch-composition-invariant, hence byte-comparable across process counts.
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+N_LIMIT, GLOBAL_BATCH = 48, 16
+
+CLI_ARGS = [
+    "--data_root_path", "/root/reference/data", "--pmi_phase", "val",
+    "--train_phase", "val", "--val_phase", "val", "--test_phase", "test",
+    "--text_only", "--epochs", "2", "-b", str(GLOBAL_BATCH),
+    "--limit_samples", str(N_LIMIT),
+    "--lr", "0", "--weight_decay", "0", "--dropout", "0",
+    "--device_text", "-e",
+]
+
+
+def main():
+    out_path = sys.argv[1]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from mgnns_tpu.cli.main import main as cli_main
+
+    # Checkpoints go to ONE directory shared by both processes (the real
+    # multihost semantic: Orbax coordinates a single global save across
+    # hosts over a shared filesystem).  Result dumps stay per-process —
+    # each host dumps its own block of the test split.
+    shared = os.path.dirname(os.path.abspath(out_path))
+    tmp = tempfile.mkdtemp(prefix=f"mh_cli_{os.environ['JAX_PROCESS_ID']}_")
+    res = cli_main(CLI_ARGS + [
+        "--multihost", "--mesh_data", "2", "--mesh_model", "2",
+        "--save_model_path", os.path.join(shared, "ckpt"),
+        "--save_experiment_result_path", os.path.join(tmp, "exp"),
+        "--save_pred_result_path", os.path.join(tmp, "pred"),
+    ])
+
+    from mgnns_tpu.parallel.multihost import process_batch_slice
+
+    start, _, _ = process_batch_slice(N_LIMIT, GLOBAL_BATCH)
+    test = res["test"]
+    out = {
+        "process": jax.process_index(),
+        "history": [
+            {k: {"loss": float(h[k]["loss"]),
+                 "accuracy": float(h[k]["accuracy"]),
+                 "fused": bool(h[k].get("fused"))}
+             for k in ("train", "val")}
+            for h in res["history"]
+        ],
+        "test_loss": float(test["loss"]),
+        "test_accuracy": float(test["accuracy"]),
+        # host-local preds keyed by GLOBAL record index
+        "preds": {str(start + int(i)): int(p)
+                  for i, p in zip(np.asarray(test["sample_index"]),
+                                  np.asarray(test["preds"]))},
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    print(f"[cli worker {jax.process_index()}] ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()

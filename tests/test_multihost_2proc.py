@@ -162,3 +162,67 @@ def test_two_process_fused_input_path_matches_single_device(tmp_path):
     want = {str(int(i)): int(p)
             for i, p in zip(ref["sample_index"], ref["preds"])}
     assert got == want and len(got) == N
+
+
+CLI_WORKER = os.path.join(os.path.dirname(__file__), "multihost_cli_worker.py")
+CKPT_GUARD_WORKER = os.path.join(
+    os.path.dirname(__file__), "multihost_ckpt_guard_worker.py")
+
+
+@pytest.mark.slow
+def test_multiprocess_checkpoint_dir_guard(tmp_path):
+    """A Checkpointer over per-process directories used to DEADLOCK the
+    first coordinated Orbax save (observed: a 2-process CLI run hung
+    silently after epoch 0).  The shared-filesystem probe must instead
+    raise an actionable error on BOTH processes, and a genuinely shared
+    directory must pass."""
+    a, b = _run_workers(CKPT_GUARD_WORKER, tmp_path)
+    for w in (a, b):
+        assert w["raised"] is True
+        assert "not shared" in w["message"]
+
+
+@pytest.mark.slow
+def test_two_process_cli_run_matches_single_process(tmp_path):
+    """The FULL training CLI across 2 coordinated processes (--multihost +
+    mesh + --device_text over the real reference splits) must produce
+    metrics identical to a single-process run of the same flags.  lr, wd,
+    and dropout are zeroed in the worker so every metric is a pure
+    evaluation — batch-composition-invariant, so exact agreement is the
+    correct expectation, not an approximation."""
+    a, b = _run_workers(CLI_WORKER, tmp_path)
+    assert a["process"] == 0 and b["process"] == 1
+
+    # both controllers agree on every epoch's metrics, and the fused SPMD
+    # input path actually ran on train AND val
+    assert a["history"] == b["history"]
+    for h in a["history"]:
+        assert h["train"]["fused"] is True and h["val"]["fused"] is True
+    assert a["test_loss"] == pytest.approx(b["test_loss"], rel=1e-6)
+
+    # single-process reference: same CLI flags, same (2,2) mesh on 4 of the
+    # parent's 8 virtual devices, no --multihost
+    import multihost_cli_worker as W
+    from mgnns_tpu.cli.main import main as cli_main
+
+    res = cli_main(W.CLI_ARGS + [
+        "--mesh_data", "2", "--mesh_model", "2",
+        "--save_model_path", str(tmp_path / "ckpt"),
+        "--save_experiment_result_path", str(tmp_path / "exp"),
+        "--save_pred_result_path", str(tmp_path / "pred"),
+    ])
+    for h_multi, h_single in zip(a["history"], res["history"]):
+        for k in ("train", "val"):
+            assert h_multi[k]["loss"] == pytest.approx(
+                h_single[k]["loss"], rel=1e-5), k
+            assert h_multi[k]["accuracy"] == pytest.approx(
+                h_single[k]["accuracy"], abs=1e-9), k
+    assert a["test_loss"] == pytest.approx(res["test"]["loss"], rel=1e-5)
+    assert a["test_accuracy"] == pytest.approx(res["test"]["accuracy"])
+
+    # the two processes' prediction blocks together equal the
+    # single-process predictions, record by record
+    got = {**a["preds"], **b["preds"]}
+    want = {str(int(i)): int(p)
+            for i, p in zip(res["test"]["sample_index"], res["test"]["preds"])}
+    assert got == want and len(got) == W.N_LIMIT
