@@ -733,8 +733,52 @@ class Engine:
         with open(path, "a") as f:
             f.write(json.dumps(row) + "\n")
 
+    @staticmethod
+    def _gather_pred_blocks(ids, targets, preds):
+        """Concatenate every process's host-local prediction block into the
+        global test-split order.
+
+        Hosts hold contiguous record slices (``multihost.process_batch_slice``),
+        so the cumulative block lengths are exactly each host's global start
+        offset, and local sample indices + offset = global record ids.
+        COLLECTIVE: every process must call this together.
+        """
+        from jax.experimental import multihost_utils as mhu
+
+        n_local = len(preds)
+        ns = np.asarray(mhu.process_allgather(np.asarray(n_local, np.int64)))
+        m = max(int(ns.max()), 1)  # keep gathered shapes non-empty
+        if ids is None:
+            ids = np.arange(n_local, dtype=np.int64)
+
+        def pad(a):
+            out = np.zeros(m, np.int64)
+            out[:n_local] = np.asarray(a, np.int64)
+            return out
+
+        g = [np.asarray(mhu.process_allgather(pad(a)))
+             for a in (ids, targets, preds)]
+        starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+        take = lambda blocks, off=None: np.concatenate(
+            [blocks[p, :ns[p]] + (off[p] if off is not None else 0)
+             for p in range(len(ns))])
+        return take(g[0], starts), take(g[1]), take(g[2])
+
     def _dump_results(self, te: dict, paths: dict, run_config: dict) -> None:
-        """Reference-style result files (``engine/...:447-507``)."""
+        """Reference-style result files (``engine/...:447-507``).
+
+        Under multihost every process must call this with the SAME paths
+        (the prediction gather below is a collective); the files land on
+        process 0 only, with the pred file holding the full global split
+        rather than one host's block.
+        """
+        ids, targets, preds = (te.get("sample_index"), te.get("targets"),
+                               te.get("preds"))
+        multi = jax.process_count() > 1
+        if multi and paths.get("pred") and preds is not None:
+            ids, targets, preds = self._gather_pred_blocks(ids, targets, preds)
+        if multi and jax.process_index() != 0:
+            return
         exp_path = paths.get("experiment")
         if exp_path:
             os.makedirs(os.path.dirname(exp_path) or ".", exist_ok=True)
@@ -746,14 +790,16 @@ class Engine:
                 )
                 f.write(M.classification_report(te["confusion"], paths.get("label_names")) + "\n")
         pred_path = paths.get("pred")
-        if pred_path and te.get("preds") is not None:
+        if pred_path and preds is not None:
             os.makedirs(os.path.dirname(pred_path) or ".", exist_ok=True)
-            ids = te.get("sample_index")
+            if ids is None:
+                ids = np.arange(len(preds))
+            order = np.argsort(np.asarray(ids), kind="stable")  # canonical:
+            # ascending record id, independent of batch composition / mesh
             with open(pred_path, "w") as f:
                 f.write("ID\tTarget\tPred\n")
-                for i in range(len(te["preds"])):
-                    sid = int(ids[i]) if ids is not None else i
-                    f.write(f"{sid}\t{int(te['targets'][i])}\t{int(te['preds'][i])}\n")
+                for i in order:
+                    f.write(f"{int(ids[i])}\t{int(targets[i])}\t{int(preds[i])}\n")
 
     # ---------------------------------------------------------- checkpoints
 

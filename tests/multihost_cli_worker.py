@@ -38,24 +38,37 @@ def main():
 
     from mgnns_tpu.cli.main import main as cli_main
 
-    # Checkpoints go to ONE directory shared by both processes (the real
-    # multihost semantic: Orbax coordinates a single global save across
-    # hosts over a shared filesystem).  Result dumps stay per-process —
-    # each host dumps its own block of the test split.
+    # Checkpoints and result dumps go to ONE directory shared by both
+    # processes (the real multihost semantic: a shared filesystem).  Orbax
+    # coordinates a single global save; the result dumps gather every
+    # host's prediction block and land on process 0 only.
     shared = os.path.dirname(os.path.abspath(out_path))
-    tmp = tempfile.mkdtemp(prefix=f"mh_cli_{os.environ['JAX_PROCESS_ID']}_")
     res = cli_main(CLI_ARGS + [
         "--multihost", "--mesh_data", "2", "--mesh_model", "2",
         "--save_model_path", os.path.join(shared, "ckpt"),
-        "--save_experiment_result_path", os.path.join(tmp, "exp"),
-        "--save_pred_result_path", os.path.join(tmp, "pred"),
+        "--save_experiment_result_path", os.path.join(shared, "exp"),
+        "--save_pred_result_path", os.path.join(shared, "pred"),
     ])
+
+    from jax.experimental import multihost_utils
 
     from mgnns_tpu.parallel.multihost import process_batch_slice
 
     start, _, _ = process_batch_slice(N_LIMIT, GLOBAL_BATCH)
+    # reference-format pred dump: written by process 0 only, containing the
+    # GLOBAL split (the engine gathers every host's block).  Barrier first:
+    # process 0's file write happens after the collective gather, so the
+    # other process could otherwise look before the file lands.
+    multihost_utils.sync_global_devices("cli_worker_dump_done")
+    pred_files = []
+    pred_root = os.path.join(shared, "pred")
+    for root, _, files in os.walk(pred_root):
+        pred_files += [os.path.join(root, fn) for fn in files]
     test = res["test"]
     out = {
+        "pred_files": sorted(pred_files),
+        "pred_rows": (open(pred_files[0]).read().splitlines()
+                      if len(pred_files) == 1 else []),
         "process": jax.process_index(),
         "history": [
             {k: {"loss": float(h[k]["loss"]),

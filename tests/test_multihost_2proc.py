@@ -207,9 +207,9 @@ def test_two_process_cli_run_matches_single_process(tmp_path):
 
     res = cli_main(W.CLI_ARGS + [
         "--mesh_data", "2", "--mesh_model", "2",
-        "--save_model_path", str(tmp_path / "ckpt"),
-        "--save_experiment_result_path", str(tmp_path / "exp"),
-        "--save_pred_result_path", str(tmp_path / "pred"),
+        "--save_model_path", str(tmp_path / "single" / "ckpt"),
+        "--save_experiment_result_path", str(tmp_path / "single" / "exp"),
+        "--save_pred_result_path", str(tmp_path / "single" / "pred"),
     ])
     for h_multi, h_single in zip(a["history"], res["history"]):
         for k in ("train", "val"):
@@ -226,3 +226,11 @@ def test_two_process_cli_run_matches_single_process(tmp_path):
     want = {str(int(i)): int(p)
             for i, p in zip(res["test"]["sample_index"], res["test"]["preds"])}
     assert got == want and len(got) == W.N_LIMIT
+
+    # the reference-format pred dump: ONE file on the shared fs, holding the
+    # full GLOBAL split (process 0 gathered both hosts' blocks) — identical
+    # to the single-process run's dump, row for row
+    assert len(a["pred_files"]) == 1 and a["pred_files"] == b["pred_files"]
+    single_pred = next((tmp_path / "single" / "pred").rglob("*.txt"))
+    assert a["pred_rows"] == single_pred.read_text().splitlines()
+    assert len(a["pred_rows"]) == W.N_LIMIT + 1  # header + 48 global rows
