@@ -40,9 +40,26 @@ def main():
     shared = os.path.join(os.path.dirname(os.path.abspath(out_path)), "ckpt")
     Checkpointer(shared).close()
 
+    # while the 2-process world is up (cheap to reuse): the result-dump
+    # prediction gather must reassemble UNEVEN host blocks (process 0
+    # holds 3 records, process 1 holds 2) into global order with global ids
+    import numpy as np
+
+    from mgnns_tpu.engine.train import Engine
+
+    if jax.process_index() == 0:
+        ids, tgt, prd = [0, 1, 2], [10, 11, 12], [20, 21, 22]
+    else:
+        ids, tgt, prd = [0, 1], [13, 14], [23, 24]
+    g_ids, g_tgt, g_prd = Engine._gather_pred_blocks(
+        np.array(ids), np.array(tgt), np.array(prd))
+    gather_ok = (g_ids.tolist() == [0, 1, 2, 3, 4]
+                 and g_tgt.tolist() == [10, 11, 12, 13, 14]
+                 and g_prd.tolist() == [20, 21, 22, 23, 24])
+
     with open(out_path, "w") as f:
         json.dump({"process": jax.process_index(), "raised": raised,
-                   "message": message}, f)
+                   "message": message, "gather_ok": gather_ok}, f)
     print(f"[ckpt guard worker {jax.process_index()}] ok", flush=True)
 
 

@@ -180,6 +180,9 @@ def test_multiprocess_checkpoint_dir_guard(tmp_path):
     for w in (a, b):
         assert w["raised"] is True
         assert "not shared" in w["message"]
+        # piggybacked check: the result-dump gather reassembles UNEVEN
+        # host blocks (3 + 2 records) into global ids/order on every process
+        assert w["gather_ok"] is True
 
 
 @pytest.mark.slow
