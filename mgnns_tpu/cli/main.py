@@ -265,6 +265,14 @@ def main(argv=None) -> dict:
         from mgnns_tpu.parallel.multihost import initialize
 
         initialize()
+    if args.mesh_data > 1:  # args-only check: fail before the expensive
+        # vocab/PMI/dataset construction, not minutes into it
+        for nm, b in (("-b/--batch_size", args.batch_size),
+                      ("--eval_batch_size", args.eval_batch_size or 0)):
+            if b and b % args.mesh_data:
+                raise SystemExit(
+                    f"{nm}={b} must divide by --mesh_data={args.mesh_data} "
+                    "(batches shard row-wise over the 'data' axis)")
     from mgnns_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache(salt=cache_salt)
@@ -390,12 +398,6 @@ def main(argv=None) -> dict:
 
         mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
         rules = mgnns_param_rules()
-        for nm, b in (("-b/--batch_size", args.batch_size),
-                      ("--eval_batch_size", args.eval_batch_size or 0)):
-            if b and b % args.mesh_data:
-                raise SystemExit(
-                    f"{nm}={b} must divide by --mesh_data={args.mesh_data} "
-                    "(batches shard row-wise over the 'data' axis)")
 
     if args.text_only and (args.object_trunk_ckpt or args.place_trunk_ckpt
                            or args.init_from_reference):

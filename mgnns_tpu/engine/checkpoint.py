@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Any
 
 import jax
@@ -54,25 +55,40 @@ class Checkpointer:
         token = int(multihost_utils.broadcast_one_to_all(np.int32(token)))
         probe = os.path.join(self.directory, ".shared_fs_probe")
         if jax.process_index() == 0:
-            with open(probe, "w") as f:
-                f.write(str(token))
+            try:
+                with open(probe, "w") as f:
+                    f.write(str(token))
+            except OSError:
+                pass  # read below fails too -> ok=False; never skip the
+                # barrier, or the peers hang at it — the guard's own bug class
         multihost_utils.sync_global_devices("mgnns_ckpt_dir_probe_write")
-        try:
-            with open(probe) as f:
-                ok = int(f.read()) == token
-        except (FileNotFoundError, ValueError):
-            ok = False
+        deadline = time.monotonic() + 5.0
+        while True:
+            try:
+                with open(probe) as f:
+                    ok = int(f.read()) == token
+            except (OSError, ValueError):
+                ok = False
+            # NFS attribute/dentry caches can lag a peer's create by a few
+            # seconds on a genuinely shared mount — retry before concluding
+            if ok or time.monotonic() > deadline:
+                break
+            time.sleep(0.25)
         all_ok = bool(multihost_utils.process_allgather(np.asarray(ok)).all())
+        if jax.process_index() == 0:
+            try:
+                os.remove(probe)
+            except OSError:
+                pass
         if not all_ok:
             raise RuntimeError(
                 f"checkpoint directory {self.directory!r} is not shared "
                 f"across the {jax.process_count()} processes (process 0's "
-                "probe file was not visible everywhere). Multihost "
-                "checkpointing needs one directory on a filesystem every "
-                "host can reach (NFS/GCS fuse/...); per-host local paths "
-                "deadlock the coordinated Orbax save.")
-        if jax.process_index() == 0:
-            os.remove(probe)
+                "probe file was not readable everywhere — unshared, or not "
+                "writable by process 0). Multihost checkpointing needs one "
+                "writable directory on a filesystem every host can reach "
+                "(NFS/GCS fuse/...); per-host local paths deadlock the "
+                "coordinated Orbax save.")
 
     # ----------------------------------------------------------------- best
 

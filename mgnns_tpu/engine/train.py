@@ -751,18 +751,15 @@ class Engine:
         if ids is None:
             ids = np.arange(n_local, dtype=np.int64)
 
-        def pad(a):
-            out = np.zeros(m, np.int64)
-            out[:n_local] = np.asarray(a, np.int64)
-            return out
-
-        g = [np.asarray(mhu.process_allgather(pad(a)))
-             for a in (ids, targets, preds)]
+        packed = np.zeros((3, m), np.int64)  # one collective for all three
+        for row, a in enumerate((ids, targets, preds)):
+            packed[row, :n_local] = np.asarray(a, np.int64)
+        g = np.asarray(mhu.process_allgather(packed))  # (P, 3, m)
         starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
-        take = lambda blocks, off=None: np.concatenate(
-            [blocks[p, :ns[p]] + (off[p] if off is not None else 0)
+        take = lambda row, off=None: np.concatenate(
+            [g[p, row, :ns[p]] + (off[p] if off is not None else 0)
              for p in range(len(ns))])
-        return take(g[0], starts), take(g[1]), take(g[2])
+        return take(0, starts), take(1), take(2)
 
     def _dump_results(self, te: dict, paths: dict, run_config: dict) -> None:
         """Reference-style result files (``engine/...:447-507``).

@@ -17,8 +17,12 @@ import tempfile
 
 N_LIMIT, GLOBAL_BATCH = 48, 16
 
+# same convention as tools/_bench_util.py: MGNNS_DATA overrides the
+# default reference-checkout location
+DATA_ROOT = os.environ.get("MGNNS_DATA", "/root/reference/data")
+
 CLI_ARGS = [
-    "--data_root_path", "/root/reference/data", "--pmi_phase", "val",
+    "--data_root_path", DATA_ROOT, "--pmi_phase", "val",
     "--train_phase", "val", "--val_phase", "val", "--test_phase", "test",
     "--text_only", "--epochs", "2", "-b", str(GLOBAL_BATCH),
     "--limit_samples", str(N_LIMIT),
