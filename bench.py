@@ -244,9 +244,14 @@ def main():
             base = json.load(f)["reference_cpu_samples_per_sec"]
         vs = sps_live / base
 
+    # regression gate vs the previous round's committed headline
+    # (round-4 review: the headline drifted -3.6% over r2..r4 with nothing
+    # watching; flag any drop past the tunnel's measured run-to-run noise)
+    prev = _load_prev_round_value()
+
     # headline = the live production path (round-2 review: lead with the
     # honest end-to-end number, keep the cached ceiling as a diagnostic)
-    print(json.dumps({
+    out = {
         "metric": "mgnns_eval_samples_per_sec_per_chip",
         "value": round(sps_live, 2),
         "unit": "samples/s",
@@ -255,7 +260,41 @@ def main():
         "value_device_cached": round(sps, 2),
         "value_live_streaming": round(sps_stream, 2),
         "value_live_per_batch_upload": round(sps_upload, 2),
-    }))
+    }
+    if prev is not None:
+        prev_round, prev_value = prev
+        delta_pct = 100.0 * (sps_live - prev_value) / prev_value
+        out["prev_round"] = prev_round
+        out["prev_value"] = prev_value
+        out["value_delta_vs_prev_pct"] = round(delta_pct, 2)
+        # 7% tolerance: above the measured tunnel run-to-run noise
+        # (docs/PERFORMANCE.md records ~±3-4% scatter on this rig)
+        out["regression"] = bool(delta_pct < -7.0)
+    print(json.dumps(out))
+
+
+def _load_prev_round_value():
+    """(round_n, headline_value) from the newest committed BENCH_r*.json
+    whose metric matches the headline, or None."""
+    import glob
+    import re
+
+    best = None
+    for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (json.JSONDecodeError, OSError):
+            continue
+        if parsed.get("metric") != "mgnns_eval_samples_per_sec_per_chip":
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, float(parsed["value"]))
+    return best
 
 
 if __name__ == "__main__":

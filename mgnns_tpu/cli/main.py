@@ -150,7 +150,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initialize the JAX distributed runtime (multi-process "
                         "SPMD over a pod slice); each host loads its own data "
                         "shard — see parallel/multihost.py")
-    p.add_argument("--use_pallas", action="store_true", help="use Pallas text-GCN kernel")
+    pg = p.add_mutually_exclusive_group()
+    pg.add_argument("--use_pallas", dest="use_pallas", action="store_true",
+                    default=None,
+                    help="use the Pallas text-GCN kernel (custom backward; "
+                         "measured 1.27-2.0x faster than XLA's VJP on TPU — "
+                         "docs/PERFORMANCE.md).  Default: ON when the "
+                         "resolved JAX backend is TPU, OFF elsewhere "
+                         "(interpret mode is slow on CPU)")
+    pg.add_argument("--no_use_pallas", dest="use_pallas", action="store_false",
+                    help="force the XLA text-GCN path even on TPU")
     p.add_argument("--faithful_param_groups", action="store_true")
     p.add_argument("--limit_samples", type=int, default=0,
                    help="truncate each split (debug/smoke)")
@@ -276,6 +285,12 @@ def main(argv=None) -> dict:
     from mgnns_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache(salt=cache_salt)
+    if args.use_pallas is None:  # backend-conditional default: the kernel is
+        # a measured win on TPU (docs/PERFORMANCE.md) but compiles via slow
+        # interpret mode on CPU — match the repo's own recommendation
+        args.use_pallas = jax.default_backend() == "tpu"
+        print(f"use_pallas={args.use_pallas} (auto: backend="
+              f"{jax.default_backend()}; --no_use_pallas to override)")
     from mgnns_tpu.config import DataConfig, ModelConfig, TextGraphConfig
     from mgnns_tpu.data.dataset import TumblrDataset, load_constants
     from mgnns_tpu.data.loader import DeviceLoader

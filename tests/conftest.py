@@ -15,7 +15,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU collectives default to a HARD 40 s rendezvous termination timeout;
+# on a 1-core box the 8 virtual devices run serially, so production-shape
+# sharded tests (448px fusion forward) legitimately arrive late — raise it.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=900"
+              " --xla_cpu_collective_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -280,3 +280,14 @@ def test_tpu_compile_flags_plumbing(monkeypatch):
     monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
     assert _apply_tpu_compile_flags(build_parser().parse_args([])) is None
     assert "LIBTPU_INIT_ARGS" not in os.environ
+
+
+def test_use_pallas_flag_tristate():
+    """--use_pallas defaults to backend-conditional (None at parse time);
+    both override directions parse (round-5: TPU default flipped on)."""
+    from mgnns_tpu.cli.main import build_parser
+
+    p = build_parser()
+    assert p.parse_args([]).use_pallas is None
+    assert p.parse_args(["--use_pallas"]).use_pallas is True
+    assert p.parse_args(["--no_use_pallas"]).use_pallas is False
