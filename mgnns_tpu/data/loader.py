@@ -75,6 +75,70 @@ def _slice_rows(table, start: int, size: int, row_shape: tuple | None = None):
     return _slice_rows_jit(table, jnp.int32(start), size, row_shape)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(table2d, chunk2d, start):
+    """In-place row-range write into a donated device table (XLA aliases the
+    donated input's buffer, so the 6 GB table is NOT copied per chunk)."""
+    return jax.lax.dynamic_update_slice(table2d, chunk2d,
+                                        (start, jnp.int32(0)))
+
+
+def _build_image_table_pipelined(ds, num_threads: int, chunk_rows: int = 128):
+    """Decode/upload-overlapped pixel-table build: host threads decode chunk
+    k+1 while chunk k's H2D streams, writing into a preallocated device
+    table via donated in-place row updates.
+
+    Replaces the monolithic decode-everything -> stack -> one 6 GB
+    device_put, which serialized ~97 s of host decode BEFORE ~204 s of
+    upload at the tunnel's measured 28 MB/s ceiling
+    (results/r5/warmup_breakdown_*.json) and spiked host RSS by the full
+    table size.  Pipelined, the build approaches max(decode, upload) and
+    holds only ~2 chunks of pixels on the host.
+
+    The tail chunk is start-shifted to keep ONE compiled write shape: rows
+    it re-covers are rewritten with identical pixels (device tables require
+    deterministic per-sample pixels — enforced at loader construction).
+    """
+    import queue
+    import threading
+
+    N = len(ds)
+    probe = ds.load_image(0)
+    row_shape = probe.shape
+    C = min(chunk_rows, N)
+    starts = list(range(0, max(N - C, 0) + 1, C))
+    if starts[-1] + C < N:
+        starts.append(N - C)  # shifted tail: uniform [C, row] writes
+
+    q: queue.Queue = queue.Queue(maxsize=2)
+
+    def produce():  # host-only: no JAX dispatch off the consumer thread
+        pool = ThreadPoolExecutor(num_threads)
+        try:
+            for s in starts:
+                rows = list(pool.map(ds.load_image, range(s, s + C)))
+                arr = np.stack(rows)
+                q.put((s, arr.reshape(C, -1)))
+            q.put(None)
+        except BaseException as e:
+            q.put(e)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+    threading.Thread(target=produce, daemon=True).start()
+
+    table = jnp.zeros((N, int(np.prod(row_shape))), probe.dtype)
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        s, chunk2d = item
+        table = _write_rows(table, jax.device_put(chunk2d), jnp.int32(s))
+    return table, row_shape
+
+
 def _gather_rows(table, idx_np: np.ndarray, row_shape: tuple | None = None):
     """Batch row gather.  ``row_shape`` set means ``table`` is stored
     flattened as [N, prod(row_shape)] (the layout that keeps XLA from
@@ -283,15 +347,7 @@ class DeviceLoader:
         if self._image_table is None:
             entry = getattr(self.ds, "_device_image_table", None)
             if entry is None:
-                pool = ThreadPoolExecutor(self.num_threads)
-                try:
-                    imgs = list(pool.map(self.ds.load_image, range(len(self.ds))))
-                finally:
-                    pool.shutdown(wait=False)
-                arr = np.stack(imgs)
-                row_shape = arr.shape[1:]
-                entry = (jax.device_put(arr.reshape(arr.shape[0], -1)),
-                         row_shape)
+                entry = _build_image_table_pipelined(self.ds, self.num_threads)
                 self.ds._device_image_table = entry
             self._image_table = entry
         return self._image_table

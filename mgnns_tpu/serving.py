@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -133,6 +134,9 @@ class Predictor:
         # Each bucket is one jit specialization; ``warm()`` precompiles them.
         dsize = int(mesh.shape.get("data", 1)) if mesh is not None else 1
         self.batch_buckets = resolve_batch_buckets(batch_buckets, max_batch, dsize)
+        # per-stage latency of the most recent chunk (ms), for the serving
+        # benchmark's committed breakdown (round-5 review item 2)
+        self.last_timings: dict = {}
 
     # ------------------------------------------------------------- preproc
 
@@ -176,12 +180,18 @@ class Predictor:
                 return b
         return self.max_batch
 
-    def _encode_batch(self, records: list[dict]):
-        """Host preprocessing of one chunk into a device-ready batch of the
-        smallest bucket size >= len(records).  Only the real records are
-        encoded; the pad slots repeat the last encoded ROW (cheap memcpy —
-        the old path re-ran tokenization and image decode on duplicated
-        records, so a 1-record fusion request paid 16 image decodes)."""
+    def _encode_host(self, records: list[dict]):
+        """HOST-side preprocessing of one chunk into a numpy batch of the
+        smallest bucket size >= len(records): tokenize, decode images, pad.
+        Only the real records are encoded; the pad slots repeat the last
+        encoded ROW (cheap memcpy — the old path re-ran tokenization and
+        image decode on duplicated records, so a 1-record fusion request
+        paid 16 image decodes).  Pure numpy — safe to run on a pipeline
+        thread (no JAX dispatch)."""
+        for i, rec in enumerate(records):
+            if "text" not in rec:
+                raise ValueError(
+                    f"record {i} (id={rec.get('id')!r}) has no 'text' field")
         n = len(records)
         B = self._bucket(n)
         pad = B - n
@@ -191,20 +201,38 @@ class Predictor:
                 return a
             return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
 
+        t0 = time.perf_counter()
         ids, lens, mask, eids = self._encode_text([r["text"] for r in records])
+        t1 = time.perf_counter()
         batch = {
             "ids": padrow(ids), "lens": padrow(lens),
             "mask": padrow(mask), "eids": padrow(eids),
         }
+        t2 = t1
         if not self.text_only:
-            batch["image"] = padrow(self._encode_images(records))
+            imgs = self._encode_images(records)
+            t2 = time.perf_counter()
+            batch["image"] = padrow(imgs)
+        self.last_timings["encode_text_ms"] = (t1 - t0) * 1e3
+        self.last_timings["decode_images_ms"] = (t2 - t1) * 1e3
+        return batch, n
+
+    def _place(self, batch: dict) -> dict:
+        """Device placement of a host batch (JAX dispatch — must run on the
+        thread that owns the forward program)."""
+        t0 = time.perf_counter()
         if self.mesh is not None:
             from mgnns_tpu.parallel.mesh import batch_device_put
 
             batch = batch_device_put(batch, self.mesh)
         else:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        return batch, n
+        self.last_timings["place_dispatch_ms"] = (time.perf_counter() - t0) * 1e3
+        return batch
+
+    def _encode_batch(self, records: list[dict]):
+        batch, n = self._encode_host(records)
+        return self._place(batch), n
 
     def _format(self, probs: np.ndarray) -> list[dict]:
         results = []
@@ -233,12 +261,18 @@ class Predictor:
         pending = None  # (device probs, n) of the chunk in flight
         for i in range(0, len(records), self.max_batch):
             batch, n = self._encode_batch(records[i : i + self.max_batch])
+            t0 = time.perf_counter()
             probs_dev = self._fwd(self.params, self.batch_stats, batch)
+            self.last_timings["forward_dispatch_ms"] = (
+                time.perf_counter() - t0) * 1e3
             if pending is not None:
                 out.extend(self._format(np.asarray(pending[0])[: pending[1]]))
             pending = (probs_dev, n)
         if pending is not None:
-            out.extend(self._format(np.asarray(pending[0])[: pending[1]]))
+            t0 = time.perf_counter()
+            probs = np.asarray(pending[0])
+            self.last_timings["readback_ms"] = (time.perf_counter() - t0) * 1e3
+            out.extend(self._format(probs[: pending[1]]))
         return out
 
     def warm(self) -> None:
@@ -392,12 +426,24 @@ class Predictor:
 class BatchingFrontend:
     """Bounded-queue micro-batching around a :class:`Predictor`.
 
-    One worker thread owns the TPU program; concurrent client requests
-    enqueue and are coalesced (up to the Predictor's ``max_batch`` records)
-    into single fixed-shape forward passes.  The queue bound provides
-    backpressure — a full queue rejects immediately (HTTP 503 upstream)
-    instead of letting latency grow without limit.  Request latencies are
-    kept in a ring buffer for p50/p99 reporting (``stats``).
+    TWO pipeline stages (round-5: decode-ahead across request groups):
+
+    - the ENCODE thread coalesces queued requests into groups (up to the
+      Predictor's ``max_batch`` records) and runs the HOST preprocessing
+      (tokenize + image decode — pure numpy, no JAX dispatch) one group
+      AHEAD of the device;
+    - the DEVICE thread owns every JAX call (placement, forward, readback —
+      dispatch is not thread-safe against execution over the axon tunnel).
+      It defers each group's blocking readback until the NEXT group's
+      forward is dispatched, so H2D + TPU compute of group k+1 overlap the
+      readback/format/delivery of group k; when the pipe is empty it
+      finalizes immediately (no idle-traffic latency penalty).
+
+    Under sustained load the group period approaches
+    max(host decode, H2D, device forward) instead of their SUM.  The queue
+    bound provides backpressure — a full queue rejects immediately (HTTP
+    503 upstream) instead of letting latency grow without limit.  Request
+    latencies are kept in a ring buffer for p50/p99 reporting (``stats``).
     """
 
     def __init__(self, predictor: Predictor, max_queue: int = 256):
@@ -408,10 +454,15 @@ class BatchingFrontend:
         self.predictor = predictor
         self.max_queue = max_queue
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        # encoded groups awaiting the device; depth 2 = one group decoding
+        # ahead while one waits — deeper only adds latency under overload
+        self._encoded_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._latencies = collections.deque(maxlen=1024)
         self._count = 0
         self._lock = threading.Lock()
-        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._encoder = threading.Thread(target=self._encode_loop, daemon=True)
+        self._worker = threading.Thread(target=self._device_loop, daemon=True)
+        self._encoder.start()
         self._worker.start()
 
     class Busy(RuntimeError):
@@ -439,7 +490,9 @@ class BatchingFrontend:
             raise slot["error"]
         return slot["out"]
 
-    def _loop(self) -> None:
+    def _encode_loop(self) -> None:
+        """Stage 1: coalesce requests into groups and host-encode them one
+        group ahead of the device (numpy only — no JAX dispatch here)."""
         import queue
 
         carry = None  # request that didn't fit the previous group
@@ -471,16 +524,85 @@ class BatchingFrontend:
                 n += len(nxt[0])
             all_records = [r for recs, _, _ in group for r in recs]
             try:
-                outs = self.predictor.predict(all_records)
-                i = 0
-                for recs, slot, done in group:
-                    slot["out"] = outs[i : i + len(recs)]
-                    i += len(recs)
-                    done.set()
+                # a single client request may exceed max_batch: encode it as
+                # several device chunks sharing one accumulator — the device
+                # thread delivers when the last chunk's probs arrive
+                mb = self.predictor.max_batch
+                chunks = [all_records[i : i + mb]
+                          for i in range(0, len(all_records), mb)]
+                acc = {"probs": [], "need": len(chunks), "failed": False}
+                for chunk in chunks:
+                    np_batch, n_real = self.predictor._encode_host(chunk)
+                    self._encoded_q.put((group, np_batch, n_real, acc))
             except Exception as e:  # deliver the failure to every waiter
-                for _, slot, done in group:
-                    slot["error"] = e
-                    done.set()
+                self._deliver_error(group, e)
+
+    @staticmethod
+    def _deliver_error(group, e: Exception) -> None:
+        for _, slot, done in group:
+            slot["error"] = e
+            done.set()
+
+    def _deliver(self, group, probs: np.ndarray) -> None:
+        outs = self.predictor._format(probs)
+        i = 0
+        for recs, slot, done in group:
+            slot["out"] = outs[i : i + len(recs)]
+            i += len(recs)
+            done.set()
+
+    def _finalize(self, pending) -> None:
+        """Block on one in-flight chunk's readback; deliver its group once
+        the accumulator holds every chunk."""
+        group, probs_dev, n_real, acc = pending
+        if acc["failed"]:
+            return
+        try:
+            acc["probs"].append(np.asarray(probs_dev)[:n_real])
+            if len(acc["probs"]) == acc["need"]:
+                self._deliver(group, np.concatenate(acc["probs"]))
+        except Exception as e:
+            acc["failed"] = True
+            self._deliver_error(group, e)
+
+    def _device_loop(self) -> None:
+        """Stage 2: the ONLY thread that touches JAX.  Dispatch chunk k+1's
+        placement+forward before blocking on chunk k's readback; finalize
+        immediately when nothing else is queued."""
+        import queue
+
+        pred = self.predictor
+        pending = None  # (group, device probs, n_real, acc) in flight
+        while True:
+            if pending is not None:
+                try:
+                    item = self._encoded_q.get_nowait()
+                except queue.Empty:
+                    # pipe empty: finish the in-flight chunk now rather than
+                    # holding its clients hostage to future traffic
+                    self._finalize(pending)
+                    pending = None
+                    continue
+            else:
+                item = self._encoded_q.get()
+            group, np_batch, n_real, acc = item
+            if acc["failed"]:
+                continue
+            # encode ran ahead of the device — re-check for clients that
+            # timed out while their encoded chunk sat in the pipe (computing
+            # answers nobody reads is the overload feedback loop)
+            if all(slot.get("abandoned") for _, slot, _ in group):
+                continue
+            try:
+                batch = pred._place(np_batch)
+                probs_dev = pred._fwd(pred.params, pred.batch_stats, batch)
+            except Exception as e:
+                acc["failed"] = True
+                self._deliver_error(group, e)
+                continue
+            if pending is not None:
+                self._finalize(pending)
+            pending = (group, probs_dev, n_real, acc)
 
     def stats(self) -> dict:
         import numpy as _np

@@ -345,3 +345,28 @@ def test_empty_host_slice_yields_padding_batches(text_side, small_ds):
             assert np.asarray(b[k]).dtype == np.asarray(ref_batch[k]).dtype, k
         assert np.asarray(b["weight"]).sum() == 0
         assert (np.asarray(b["lens"]) >= 1).all()
+
+
+def test_pipelined_image_table_matches_naive():
+    """The decode/upload-overlapped table builder (round-5 cold-start fix)
+    must produce byte-identical tables to the naive stack-then-upload path,
+    including the shifted tail chunk that rewrites overlap rows."""
+    from mgnns_tpu.data.loader import _build_image_table_pipelined
+
+    class _DS:
+        def __init__(self, n, size=17):
+            self.n, self.size = n, size
+
+        def __len__(self):
+            return self.n
+
+        def load_image(self, i, rng=None):
+            r = np.random.default_rng(int(i))
+            return r.integers(0, 255, (self.size, self.size, 3)).astype(np.uint8)
+
+    for n in (1, 5, 16, 37):  # single chunk, sub-chunk, exact, shifted tail
+        ds = _DS(n)
+        table, row_shape = _build_image_table_pipelined(ds, 4, chunk_rows=16)
+        want = np.stack([ds.load_image(i) for i in range(n)]).reshape(n, -1)
+        np.testing.assert_array_equal(np.asarray(table), want)
+        assert row_shape == (17, 17, 3)

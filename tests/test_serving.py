@@ -452,6 +452,27 @@ def test_export_fusion_model_roundtrip(tmp_path):
             assert a["probs"][k] == pytest.approx(b["probs"][k], abs=1e-5)
 
 
+class _FakePipelinePredictor:
+    """Minimal stand-in exposing the BatchingFrontend pipeline surface
+    (round-5 two-stage frontend: _encode_host on the encode thread,
+    _place/_fwd/_format on the device thread).  The 'batch' is just the
+    object array of record ids."""
+
+    text_only = True
+    params = None
+    batch_stats = None
+
+    def _encode_host(self, records):
+        ids = np.array([r["id"] for r in records], dtype=object)
+        return ids, len(records)
+
+    def _place(self, batch):
+        return batch
+
+    def _format(self, probs):
+        return [{"id": i} for i in probs]
+
+
 def test_batching_frontend_drops_abandoned_requests():
     """Requests whose client already timed out must NOT be predicted: under
     sustained overload the worker would otherwise burn the device computing
@@ -465,15 +486,14 @@ def test_batching_frontend_drops_abandoned_requests():
     release = threading.Event()
     calls = []
 
-    class SlowPredictor:
+    class SlowPredictor(_FakePipelinePredictor):
         max_batch = 8
-        text_only = True
 
-        def predict(self, records):
-            calls.append([r["id"] for r in records])
-            if records[0]["id"] == "A":
+        def _fwd(self, p, bs, batch):
+            calls.append(list(batch))
+            if batch[0] == "A":
                 release.wait(10)
-            return [{"id": r["id"]} for r in records]
+            return batch
 
     fe = BatchingFrontend(SlowPredictor(), max_queue=4)
     # A occupies the worker; B times out while queued; C runs after
@@ -510,15 +530,14 @@ def test_batching_frontend_never_overflows_max_batch():
     release = threading.Event()
     calls = []
 
-    class Pred:
+    class Pred(_FakePipelinePredictor):
         max_batch = 4
-        text_only = True
 
-        def predict(self, records):
-            calls.append(len(records))
-            if records[0]["id"] == "hold":
+        def _fwd(self, p, bs, batch):
+            calls.append(len(batch))
+            if batch[0] == "hold":
                 release.wait(10)
-            return [{"id": r["id"]} for r in records]
+            return batch
 
     fe = BatchingFrontend(Pred(), max_queue=8)
     results = {}

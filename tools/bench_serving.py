@@ -14,7 +14,12 @@ Protocol per model:
     concurrent clients x R requests (1 record each) -> p50/p99 wall
     latency + aggregate requests/s (micro-batching coalesces them).
 
-Writes results/r4/serving_bench.json.  One TPU process at a time.
+Round 5 adds: per-stage latency breakdown (encode text / decode images /
+H2D placement / forward dispatch / readback) for the direct path, and a
+``sustained`` leg driving the two-stage pipelined BatchingFrontend with
+concurrent full-batch clients.
+
+Writes results/r5/serving_bench.json.  One TPU process at a time.
 """
 
 import json
@@ -51,18 +56,53 @@ def bench_direct(pred, label, n_iters=50):
     for bs in (1, pred.max_batch):
         recs = _records(bs, not pred.text_only)
         pred.predict(recs)  # warm (compile + cache)
-        lat = []
+        lat, stages = [], []
         for _ in range(n_iters):
             t0 = time.perf_counter()
             pred.predict(recs)
             lat.append(time.perf_counter() - t0)
+            stages.append(dict(pred.last_timings))
         ms = np.array(lat) * 1e3
         out[f"b{bs}"] = {
             "p50_ms": round(float(np.percentile(ms, 50)), 2),
             "p99_ms": round(float(np.percentile(ms, 99)), 2),
             "samples_per_sec": round(bs / float(np.median(lat)), 1),
+            # per-stage medians (round-5 item 2: the committed breakdown
+            # that says WHERE a request's latency goes)
+            "stage_p50_ms": {
+                k: round(float(np.median([s[k] for s in stages if k in s])), 2)
+                for k in sorted({k for s in stages for k in s})},
         }
     print(f"[serve-bench] {label} direct: {out}", flush=True)
+    return out
+
+
+def bench_sustained(pred, label, clients=3, reqs_per_client=10):
+    """Sustained full-batch throughput through the two-stage pipelined
+    frontend: ``clients`` threads keep >= 2 groups in flight, so host decode
+    of group k+1 overlaps device execution of group k (the round-5 fix for
+    the 17x serving-vs-epoch gap)."""
+    from mgnns_tpu.serving import BatchingFrontend
+
+    fe = BatchingFrontend(pred, max_queue=256)
+    recs = _records(pred.max_batch, not pred.text_only)
+    fe.submit(recs, timeout=300)  # warm
+
+    def client():
+        for _ in range(reqs_per_client):
+            fe.submit(recs, timeout=300)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client) for _ in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    n = clients * reqs_per_client * pred.max_batch
+    out = {"clients": clients, "batch": pred.max_batch,
+           "samples": n, "samples_per_sec": round(n / wall, 1)}
+    print(f"[serve-bench] {label} sustained: {out}", flush=True)
     return out
 
 
@@ -163,6 +203,7 @@ def main():
     pred_t.warm()  # production path (cli/serve.py): all buckets precompiled
     results["text"] = {
         "direct": bench_direct(pred_t, "text"),
+        "sustained": bench_sustained(pred_t, "text"),
         "http": bench_http(pred_t, "text"),
     }
     del pred_t
@@ -178,10 +219,11 @@ def main():
     pred_f.warm()
     results["fusion"] = {
         "direct": bench_direct(pred_f, "fusion", n_iters=25),
+        "sustained": bench_sustained(pred_f, "fusion"),
         "http": bench_http(pred_f, "fusion", clients=8, reqs_per_client=10),
     }
 
-    outp = os.path.join(ROOT, "results", "r4", "serving_bench.json")
+    outp = os.path.join(ROOT, "results", "r5", "serving_bench.json")
     os.makedirs(os.path.dirname(outp), exist_ok=True)
     with open(outp, "w") as f:
         json.dump(results, f, indent=2)

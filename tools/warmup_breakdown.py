@@ -22,7 +22,10 @@ phase independently on the real chip:
 
 Cache mode: MGNNS_COLD=1 points the persistent compilation cache at a fresh
 temp dir (true cold compile); default reuses the shared cache (the day-two
-warm start).  Writes results/r5/warmup_breakdown_{cold|warm}.json.
+warm start).  WB_PIPELINED=1 measures the loader's REAL (round-5) pipelined
+chunked table build — decode overlapped with upload — as one
+``table_build_seconds`` phase instead of the separate decode/upload
+diagnosis.  Writes results/r5/warmup_breakdown_{cold|warm|pipelined}.json.
 One TPU process at a time.
 """
 
@@ -81,27 +84,39 @@ def main():
         del dev
     probe_rate = max(rates)  # max: later reps avoid one-time staging setup
 
-    # ---- decode: host pixel synthesis/decode, threaded like the loader ----
-    t0 = time.time()
-    pool = ThreadPoolExecutor(8)
-    try:
-        imgs = list(pool.map(ds.load_image, range(N)))
-    finally:
-        pool.shutdown(wait=False)
-    arr = np.stack(imgs)
-    del imgs
-    decode_s = time.time() - t0
+    pipelined = os.environ.get("WB_PIPELINED") == "1"
+    decode_s = upload_s = build_s = None
+    if pipelined:
+        # ---- the loader's real path: decode/upload-overlapped build -------
+        from mgnns_tpu.data.loader import _build_image_table_pipelined
 
-    # ---- upload: the pixel table H2D (the loader's exact layout) ----------
-    row_shape = arr.shape[1:]
-    arr2d = arr.reshape(arr.shape[0], -1)
-    mb = arr2d.nbytes / (1 << 20)
-    t0 = time.time()
-    table = jax.device_put(arr2d)
-    table.block_until_ready()
-    int(np.asarray(table[0, :8]).sum())
-    upload_s = time.time() - t0
-    del arr, arr2d
+        t0 = time.time()
+        table, row_shape = _build_image_table_pipelined(ds, 8)
+        int(np.asarray(table[N - 1, :8]).sum())  # barrier: writes complete
+        build_s = time.time() - t0
+        mb = table.nbytes / (1 << 20)
+    else:
+        # ---- decode: host pixel synthesis/decode, threaded like the loader
+        t0 = time.time()
+        pool = ThreadPoolExecutor(8)
+        try:
+            imgs = list(pool.map(ds.load_image, range(N)))
+        finally:
+            pool.shutdown(wait=False)
+        arr = np.stack(imgs)
+        del imgs
+        decode_s = time.time() - t0
+
+        # ---- upload: the pixel table H2D (the loader's exact layout) ------
+        row_shape = arr.shape[1:]
+        arr2d = arr.reshape(arr.shape[0], -1)
+        mb = arr2d.nbytes / (1 << 20)
+        t0 = time.time()
+        table = jax.device_put(arr2d)
+        table.block_until_ready()
+        int(np.asarray(table[0, :8]).sum())
+        upload_s = time.time() - t0
+        del arr, arr2d
     ds._device_image_table = (table, row_shape)  # loader reuses this copy
 
     # ---- text tables (tiny, measured for completeness) --------------------
@@ -126,10 +141,7 @@ def main():
         "n_samples": N,
         "batch": B,
         "setup_seconds": round(setup_s, 1),
-        "decode_seconds": round(decode_s, 1),
-        "upload_seconds": round(upload_s, 1),
         "upload_mb": round(mb, 1),
-        "upload_mb_per_s": round(mb / upload_s, 1),
         "text_table_upload_seconds": round(text_upload_s, 2),
         "h2d_probe_mb_per_s": round(probe_rate, 1),
         "first_epoch_seconds": round(first_epoch_s, 1),
@@ -139,8 +151,15 @@ def main():
         "fused": bool(ev.get("fused")),
         "time_to_first_result_seconds": round(t_first_result, 1),
     }
-    outp = os.path.join(ROOT, "results", "r5",
-                        f"warmup_breakdown_{'cold' if cold else 'warm'}.json")
+    if pipelined:
+        out["table_build_seconds"] = round(build_s, 1)
+        out["table_build_mb_per_s"] = round(mb / build_s, 1)
+    else:
+        out["decode_seconds"] = round(decode_s, 1)
+        out["upload_seconds"] = round(upload_s, 1)
+        out["upload_mb_per_s"] = round(mb / upload_s, 1)
+    tag = "pipelined" if pipelined else ("cold" if cold else "warm")
+    outp = os.path.join(ROOT, "results", "r5", f"warmup_breakdown_{tag}.json")
     os.makedirs(os.path.dirname(outp), exist_ok=True)
     with open(outp, "w") as f:
         json.dump(out, f, indent=2)
