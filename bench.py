@@ -41,6 +41,8 @@ import os
 import sys
 import time
 
+_T_PROCESS_START = time.time()
+
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
@@ -213,7 +215,10 @@ def main():
     live_loader = DeviceLoader(ds, batch_size, shuffle=False, num_threads=8,
                                cache_device_batches=False, device_images=True,
                                device_text=True)
+    t0 = time.time()
     live_eng.eval_epoch(live_loader)  # warmup: table upload + fused compile
+    warm_start_s = time.time() - t0
+    t_first_result = time.time() - _T_PROCESS_START
     live = live_eng.eval_epoch(live_loader)
     sps_live = live["samples_per_sec"]
     live_fused = bool(live.get("fused"))
@@ -260,6 +265,12 @@ def main():
         "value_device_cached": round(sps, 2),
         "value_live_streaming": round(sps_stream, 2),
         "value_live_per_batch_upload": round(sps_upload, 2),
+        # cold-start visibility (round-5 item 1): the live path's warmup
+        # (pipelined table build + fused compile + first epoch) and the
+        # wall time from process start to the first full epoch's results —
+        # see results/r5/warmup_breakdown_*.json for the phase breakdown
+        "warm_start_seconds": round(warm_start_s, 1),
+        "time_to_first_result_seconds": round(t_first_result, 1),
     }
     if prev is not None:
         prev_round, prev_value = prev

@@ -460,10 +460,17 @@ class BatchingFrontend:
         self._latencies = collections.deque(maxlen=1024)
         self._count = 0
         self._lock = threading.Lock()
+        # encoded chunks handed to the device and not yet finished — the
+        # encoder's coalescing signal (see _encode_loop)
+        self._inflight = 0
         self._encoder = threading.Thread(target=self._encode_loop, daemon=True)
         self._worker = threading.Thread(target=self._device_loop, daemon=True)
         self._encoder.start()
         self._worker.start()
+
+    def _item_done(self) -> None:
+        with self._lock:
+            self._inflight -= 1
 
     class Busy(RuntimeError):
         pass
@@ -509,12 +516,25 @@ class BatchingFrontend:
             # coalesce whatever is already waiting, up to one device batch —
             # never past it: overflowing the group would chain extra
             # fixed-shape forwards that every coalesced client (including
-            # ones that fit the first pass) must wait for
+            # ones that fit the first pass) must wait for.  While >= 2
+            # groups are already in flight (device busy + one decoding
+            # ahead) there is nothing to gain from shipping another tiny
+            # group, so keep absorbing arrivals — the eager round-5 encode
+            # thread otherwise sliced concurrent 1-record requests into
+            # per-record forwards, each paying the tunnel's ~25 ms RTT;
+            # with the pipe hungry, ship immediately (no idle-latency tax).
             while n < self.predictor.max_batch:
                 try:
                     nxt = self._q.get_nowait()
                 except queue.Empty:
-                    break
+                    with self._lock:
+                        busy = self._inflight
+                    if busy < 2:
+                        break  # the device needs feeding: ship what we have
+                    try:
+                        nxt = self._q.get(timeout=0.001)
+                    except queue.Empty:
+                        continue
                 if nxt[1].get("abandoned"):
                     continue
                 if n + len(nxt[0]) > self.predictor.max_batch:
@@ -523,18 +543,22 @@ class BatchingFrontend:
                 group.append(nxt)
                 n += len(nxt[0])
             all_records = [r for recs, _, _ in group for r in recs]
+            # a single client request may exceed max_batch: encode it as
+            # several device chunks sharing one accumulator — the device
+            # thread delivers when the last chunk's probs arrive
+            acc = {"probs": [], "need": 0, "failed": False}
             try:
-                # a single client request may exceed max_batch: encode it as
-                # several device chunks sharing one accumulator — the device
-                # thread delivers when the last chunk's probs arrive
                 mb = self.predictor.max_batch
                 chunks = [all_records[i : i + mb]
                           for i in range(0, len(all_records), mb)]
-                acc = {"probs": [], "need": len(chunks), "failed": False}
+                acc["need"] = len(chunks)
                 for chunk in chunks:
                     np_batch, n_real = self.predictor._encode_host(chunk)
                     self._encoded_q.put((group, np_batch, n_real, acc))
+                    with self._lock:
+                        self._inflight += 1
             except Exception as e:  # deliver the failure to every waiter
+                acc["failed"] = True  # chunks already enqueued are dropped
                 self._deliver_error(group, e)
 
     @staticmethod
@@ -555,15 +579,18 @@ class BatchingFrontend:
         """Block on one in-flight chunk's readback; deliver its group once
         the accumulator holds every chunk."""
         group, probs_dev, n_real, acc = pending
-        if acc["failed"]:
-            return
         try:
-            acc["probs"].append(np.asarray(probs_dev)[:n_real])
-            if len(acc["probs"]) == acc["need"]:
-                self._deliver(group, np.concatenate(acc["probs"]))
-        except Exception as e:
-            acc["failed"] = True
-            self._deliver_error(group, e)
+            if acc["failed"]:
+                return
+            try:
+                acc["probs"].append(np.asarray(probs_dev)[:n_real])
+                if len(acc["probs"]) == acc["need"]:
+                    self._deliver(group, np.concatenate(acc["probs"]))
+            except Exception as e:
+                acc["failed"] = True
+                self._deliver_error(group, e)
+        finally:
+            self._item_done()
 
     def _device_loop(self) -> None:
         """Stage 2: the ONLY thread that touches JAX.  Dispatch chunk k+1's
@@ -587,11 +614,13 @@ class BatchingFrontend:
                 item = self._encoded_q.get()
             group, np_batch, n_real, acc = item
             if acc["failed"]:
+                self._item_done()
                 continue
             # encode ran ahead of the device — re-check for clients that
             # timed out while their encoded chunk sat in the pipe (computing
             # answers nobody reads is the overload feedback loop)
             if all(slot.get("abandoned") for _, slot, _ in group):
+                self._item_done()
                 continue
             try:
                 batch = pred._place(np_batch)
@@ -599,6 +628,7 @@ class BatchingFrontend:
             except Exception as e:
                 acc["failed"] = True
                 self._deliver_error(group, e)
+                self._item_done()
                 continue
             if pending is not None:
                 self._finalize(pending)

@@ -535,7 +535,7 @@ def test_batching_frontend_never_overflows_max_batch():
 
         def _fwd(self, p, bs, batch):
             calls.append(len(batch))
-            if batch[0] == "hold":
+            if batch[0] == "hold0":  # the actual record id, not the prefix
                 release.wait(10)
             return batch
 
@@ -555,19 +555,86 @@ def test_batching_frontend_never_overflows_max_batch():
     assert calls == [1]
     # queued while the worker is busy: 3 + 2 > max_batch=4 — must NOT coalesce
     t3 = threading.Thread(target=client, args=("a", 3))
-    t2 = threading.Thread(target=client, args=("b", 2))
     t3.start()
-    for _ in range(500):  # a's request enqueued first
-        if fe._q.qsize() >= 1:
-            break
+    for _ in range(500):  # until a's group is encoded and in flight
+        with fe._lock:
+            if fe._inflight >= 2:
+                break
         threading.Event().wait(0.01)
+    t2 = threading.Thread(target=client, args=("b", 2))
     t2.start()
-    for _ in range(500):
-        if fe._q.qsize() >= 2:
+    for _ in range(500):  # absorbed off the request queue by the encoder
+        if fe._q.qsize() == 0:
             break
         threading.Event().wait(0.01)
+    threading.Event().wait(0.05)
     release.set()
     th.join(15); t3.join(15); t2.join(15)
     assert calls == [1, 3, 2]  # two groups, neither exceeding max_batch
     assert [r["id"] for r in results["a"]] == ["a0", "a1", "a2"]
     assert [r["id"] for r in results["b"]] == ["b0", "b1"]
+
+
+def test_batching_frontend_coalesces_while_pipe_full():
+    """With >= 2 chunks already in flight (device busy + one decoded ahead)
+    the encode thread must keep absorbing arrivals into ONE group instead of
+    slicing concurrent small requests into per-record forwards (regression:
+    the round-5 eager encoder shipped each 1-record request as its own
+    device chunk, each paying the tunnel's ~25 ms round trip)."""
+    import threading
+    import time
+
+    from mgnns_tpu.serving import BatchingFrontend
+
+    release = threading.Event()
+    calls = []
+
+    class Pred(_FakePipelinePredictor):
+        max_batch = 8
+
+        def _fwd(self, p, bs, batch):
+            calls.append(len(batch))
+            if batch[0] == "hold0":
+                release.wait(10)
+            return batch
+
+    fe = BatchingFrontend(Pred(), max_queue=32)
+    results = {}
+
+    def client(name, n):
+        results[name] = fe.submit([{"id": f"{name}{i}"} for i in range(n)],
+                                  timeout=15)
+
+    # "hold" occupies the device; "a" decodes ahead -> 2 chunks in flight
+    th = threading.Thread(target=client, args=("hold", 1))
+    th.start()
+    for _ in range(500):
+        if calls:
+            break
+        time.sleep(0.01)
+    assert calls == [1]
+    ta = threading.Thread(target=client, args=("a", 1))
+    ta.start()
+    for _ in range(500):
+        with fe._lock:
+            if fe._inflight >= 2:
+                break
+        time.sleep(0.01)
+    # four concurrent 1-record requests arrive while the pipe is full:
+    # the encoder must coalesce them, not ship four 1-record chunks
+    tc = [threading.Thread(target=client, args=(f"c{i}", 1)) for i in range(4)]
+    for t in tc:
+        t.start()
+    for _ in range(500):  # absorbed off the request queue by the encoder
+        if fe._q.qsize() == 0:
+            break
+        time.sleep(0.01)
+    time.sleep(0.05)  # let the encoder's absorb loop drain the last arrival
+    release.set()
+    th.join(15); ta.join(15)
+    for t in tc:
+        t.join(15)
+    assert calls[:2] == [1, 1]  # hold, then the decoded-ahead "a"
+    assert calls[2:] == [4], calls  # the four arrivals ran as ONE forward
+    for i in range(4):
+        assert [r["id"] for r in results[f"c{i}"]] == [f"c{i}0"]

@@ -163,6 +163,40 @@ def bench_http(pred, label, clients=8, reqs_per_client=25):
     return out
 
 
+def floor_analysis(results, image_size=448):
+    """Derive WHERE the fusion batched-serving ceiling is (round-5 item 2).
+
+    The per-stage breakdown separates host decode (overlapped away by the
+    pipelined frontend) from ``readback`` — which blocks on the H2D pixel
+    transfer + device forward.  On this rig the chip is reached through a
+    tunnel, so the wire, not the chip, sets the batched floor: this computes
+    the effective H2D bandwidth the sustained leg achieved and what a target
+    rate would require.
+    """
+    fusion = results.get("fusion")
+    if not fusion:
+        return None
+    bs = fusion["direct"].get("b16") or {}
+    stage = bs.get("stage_p50_ms", {})
+    batch = fusion["sustained"]["batch"]
+    mb = batch * image_size * image_size * 3 / 1e6  # uint8 pixels H2D
+    sps = fusion["sustained"]["samples_per_sec"]
+    eff_mb_s = sps / batch * mb
+    return {
+        "pixel_mb_per_batch": round(mb, 2),
+        "sustained_samples_per_sec": sps,
+        "effective_h2d_mb_per_s": round(eff_mb_s, 1),
+        "readback_p50_ms": stage.get("readback_ms"),
+        "decode_p50_ms": stage.get("decode_images_ms"),
+        "chip_forward_ms_b32_roofline": 29.6,
+        "mb_per_s_needed_for_150sps": round(150 / batch * mb, 1),
+        "note": ("sustained period ~= max(decode, H2D+forward); readback "
+                 "(wire wait + ~15 ms forward) dominates -> the tunnel's "
+                 "H2D bandwidth is the batched-serving floor on this rig, "
+                 "not host decode or the chip"),
+    }
+
+
 def train_text_ckpt(tmp):
     """A quick text checkpoint (protocol of docs/RESULTS.md, 2 epochs)."""
     from mgnns_tpu.cli.main import main
@@ -222,6 +256,8 @@ def main():
         "sustained": bench_sustained(pred_f, "fusion"),
         "http": bench_http(pred_f, "fusion", clients=8, reqs_per_client=10),
     }
+
+    results["fusion"]["floor_analysis"] = floor_analysis(results)
 
     outp = os.path.join(ROOT, "results", "r5", "serving_bench.json")
     os.makedirs(os.path.dirname(outp), exist_ok=True)
