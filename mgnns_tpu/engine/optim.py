@@ -41,6 +41,15 @@ _GROUPS_LISTED = {
     "text_img_place_mha": "base",
 }
 _ALWAYS_FROZEN = {"object_A", "place_A"}
+# dead reference modules (mgnns_init(include_dead_modules=True)): constructed
+# but never run, absent from the reference's optimizer groups — must never be
+# updated (weight decay alone would otherwise mutate them under
+# faithful=False, breaking checkpoint equivalence with the reference)
+_ALWAYS_FROZEN |= {
+    "rnn", "object_gate", "place_gate", "text_head",
+    "text_object_text_mha", "text_place_text_mha",
+    *(f"{side}_linear_{i}" for side in ("object", "place") for i in (1, 2, 3)),
+}
 
 
 def label_params(params: dict, faithful: bool = False, freeze_trunks: bool = False) -> dict:

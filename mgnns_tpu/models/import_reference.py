@@ -27,9 +27,15 @@ LSTM matrices [4H, D] are transposed:
   multi_linear_{1,2}.*                      multi_linear_{1,2}.{w,b}
   object_A / place_A                        object_A / place_A
 
-Dead reference modules (``rnn`` GRU, gates, ``object_linear_1..3``,
-``text_object_text``/``text_place_text`` attentions, ``text_features.Linear``)
-are ignored on import and omitted on export.
+Dead reference modules — constructed by the reference ``__init__`` but never
+used in its forward, so present in every reference checkpoint: ``rnn`` (GRU,
+``:172-177``), ``object/place_gate`` (``:186-187``), ``object/place_linear_1..3``
+(``:316-326``), the ``text_object_text``/``text_place_text`` attention blocks
+(``:214-245``), and ``text_features.Linear`` (``Text_GCN.py:95``) — round-trip
+when present: import picks them up into the pytrees produced by
+``mgnns_init(include_dead_modules=True)``, and export emits them when the
+params carry them, so a reference-side ``load_state_dict(strict=True)``
+succeeds.  Without the flag they are ignored on import / omitted on export.
 """
 
 from __future__ import annotations
@@ -154,6 +160,34 @@ def import_reference_state_dict(sd: dict, *, num_layers: int = 2,
 
     p["multi_linear_1"] = _linear(sd, "multi_linear_1")
     p["multi_linear_2"] = _linear(sd, "multi_linear_2")
+
+    # dead-but-checkpointed reference modules (module docstring): round-trip
+    # them when the state_dict carries them
+    if "rnn.weight_ih_l0" in sd:
+        layers = []
+        for l in range(num_layers):
+            dir_params = []
+            for dd in range(dirs):
+                suf = "_reverse" if dd == 1 else ""
+                dir_params.append({
+                    "w_ih": _arr(sd[f"rnn.weight_ih_l{l}{suf}"]).T.astype(np.float32),
+                    "w_hh": _arr(sd[f"rnn.weight_hh_l{l}{suf}"]).T.astype(np.float32),
+                    "b_ih": _arr(sd[f"rnn.bias_ih_l{l}{suf}"]).astype(np.float32),
+                    "b_hh": _arr(sd[f"rnn.bias_hh_l{l}{suf}"]).astype(np.float32),
+                })
+            layers.append(dir_params)
+        p["rnn"] = {"layers": layers}
+    for side in ("object", "place"):
+        if f"{side}_gate.weight" in sd:
+            p[f"{side}_gate"] = _linear(sd, f"{side}_gate")
+        for i in (1, 2, 3):
+            if f"{side}_linear_{i}.weight" in sd:
+                p[f"{side}_linear_{i}"] = _linear(sd, f"{side}_linear_{i}")
+        if f"text_{side}_text_multi_head_att.slf_attn.w_qs.weight" in sd:
+            p[f"text_{side}_text_mha"] = _mha_block(
+                sd, f"text_{side}_text_multi_head_att")
+    if "text_features.Linear.weight" in sd:
+        p["text_head"] = _linear(sd, "text_features.Linear")
     import jax
     import jax.numpy as jnp
 
@@ -255,4 +289,33 @@ def export_reference_state_dict(params: dict, batch_stats: dict) -> dict:
             _exp_ln(out, f"{pre}.pos_ffn.layer_norm", blk["pos_ffn"]["ln"])
     _exp_linear(out, "multi_linear_1", params["multi_linear_1"])
     _exp_linear(out, "multi_linear_2", params["multi_linear_2"])
+
+    # dead-but-checkpointed reference modules (module docstring): emit them
+    # when the params carry them (mgnns_init(include_dead_modules=True)) so
+    # the reference side can load_state_dict(strict=True)
+    if "rnn" in params:
+        for l, dir_params in enumerate(params["rnn"]["layers"]):
+            for dd, p in enumerate(dir_params):
+                suf = "_reverse" if dd == 1 else ""
+                out[f"rnn.weight_ih_l{l}{suf}"] = np.asarray(p["w_ih"]).T
+                out[f"rnn.weight_hh_l{l}{suf}"] = np.asarray(p["w_hh"]).T
+                out[f"rnn.bias_ih_l{l}{suf}"] = np.asarray(p["b_ih"])
+                out[f"rnn.bias_hh_l{l}{suf}"] = np.asarray(p["b_hh"])
+    for side in ("object", "place"):
+        if f"{side}_gate" in params:
+            _exp_linear(out, f"{side}_gate", params[f"{side}_gate"])
+        for i in (1, 2, 3):
+            if f"{side}_linear_{i}" in params:
+                _exp_linear(out, f"{side}_linear_{i}", params[f"{side}_linear_{i}"])
+        if f"text_{side}_text_mha" in params:
+            blk = params[f"text_{side}_text_mha"]
+            pre = f"text_{side}_text_multi_head_att"
+            for sub in ("w_qs", "w_ks", "w_vs", "fc"):
+                _exp_linear(out, f"{pre}.slf_attn.{sub}", blk["slf_attn"][sub])
+            _exp_ln(out, f"{pre}.slf_attn.layer_norm", blk["slf_attn"]["ln"])
+            _exp_conv1d(out, f"{pre}.pos_ffn.w_1", blk["pos_ffn"]["w_1"])
+            _exp_conv1d(out, f"{pre}.pos_ffn.w_2", blk["pos_ffn"]["w_2"])
+            _exp_ln(out, f"{pre}.pos_ffn.layer_norm", blk["pos_ffn"]["ln"])
+    if "text_head" in params:
+        _exp_linear(out, "text_features.Linear", params["text_head"])
     return out

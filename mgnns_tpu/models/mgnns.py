@@ -84,6 +84,7 @@ def mgnns_init(
     edge_weights: np.ndarray | None = None,
     object_trunk: tuple[dict, dict] | None = None,
     place_trunk: tuple[dict, dict] | None = None,
+    include_dead_modules: bool = False,
 ) -> tuple[dict, dict, dict]:
     """Build (params, batch_stats, consts).
 
@@ -95,6 +96,15 @@ def mgnns_init(
       node_embedding: optional [V, 300] GloVe for the text-GCN nodes.
       object_trunk / place_trunk: optional imported (params, stats) ResNet
         pytrees (:func:`mgnns_tpu.nn.resnet.import_torch_state_dict`).
+      include_dead_modules: also initialize the reference modules that are
+        constructed but never used in its forward (GRU ``rnn`` ``:172-177``,
+        ``object/place_gate`` ``:186-187``, ``object/place_linear_1..3``
+        ``:316-326``, the ``text_object_text``/``text_place_text`` attention
+        blocks ``:214-245`` whose calls are commented out ``:516-532``, and
+        Text_GCN's unused ``Linear`` head ``Text_GCN.py:95``).  They receive
+        no gradient and do not run in :func:`mgnns_apply`; turning them on
+        makes exported checkpoints satisfy a reference-side
+        ``load_state_dict(strict=True)``.
     """
     ks = jax.random.split(key, 24)
     d = cfg.bi_hidden_size
@@ -141,6 +151,29 @@ def mgnns_init(
 
     p["multi_linear_1"] = linear_init(ks[19], 4 * d, d)
     p["multi_linear_2"] = linear_init(ks[20], d, cfg.num_labels)
+
+    if include_dead_modules:
+        kd = jax.random.split(ks[23], 12)
+        # GRU text encoder the reference builds but never calls (:172-177)
+        p["rnn"] = lstm.gru_init(kd[0], cfg.emb_size, cfg.hidden_size,
+                                 cfg.num_layers, cfg.bidirectional)
+        # gates (:186-187): Linear(600 -> 300), never applied
+        p["object_gate"] = linear_init(kd[1], 2 * d, d)
+        p["place_gate"] = linear_init(kd[2], 2 * d, d)
+        # per-channel linear pyramids (:316-326), never applied
+        for side, kk in (("object", kd[3]), ("place", kd[4])):
+            k1, k2, k3 = jax.random.split(kk, 3)
+            p[f"{side}_linear_1"] = linear_init(k1, 2048, 1024)
+            p[f"{side}_linear_2"] = linear_init(k2, 1024, 512)
+            p[f"{side}_linear_3"] = linear_init(k3, 512, 256)
+        # text_object_text / text_place_text MyAnotherMultiHeadAttention
+        # blocks (:214-245); their forward uses are commented out (:516-532)
+        p["text_object_text_mha"] = attention.my_another_mha_init(
+            kd[5], cfg.n_head, d, cfg.d_kv)
+        p["text_place_text_mha"] = attention.my_another_mha_init(
+            kd[6], cfg.n_head, d, cfg.d_kv)
+        # Text_GCN's unused classification head (Text_GCN.py:95,273)
+        p["text_head"] = linear_init(kd[7], cfg.emb_size, cfg.num_labels)
 
     # A matrices are nn.Parameters in the reference but receive no gradient
     # (gen_adj output is detached, :461,:490) and are absent from the

@@ -217,6 +217,34 @@ my_another_mha_apply = my_mha_apply
 
 
 # ---------------------------------------------------------------------------
+# Sinusoidal positional encoding (reference submodules.PositionalEncoding)
+
+
+def positional_encoding_table(d_hid: int, n_position: int = 200) -> jnp.ndarray:
+    """[n_position, d_hid] sinusoid table (reference ``submodules.py:159-179``):
+    angle(pos, j) = pos / 10000^(2*(j//2)/d_hid); sin on even dims, cos on odd.
+
+    The reference defines this module but never instantiates it (no call site
+    in any forward), so the table appears in no checkpoint; it is provided as
+    a pure function for API-surface parity and for encoder variants that want
+    absolute positions.  Computed vectorized instead of the reference's
+    per-position Python list comprehension.
+    """
+    pos = np.arange(n_position, dtype=np.float64)[:, None]
+    j = np.arange(d_hid, dtype=np.float64)[None, :]
+    angles = pos / np.power(10000.0, 2.0 * np.floor(j / 2.0) / d_hid)
+    table = np.where(np.arange(d_hid)[None, :] % 2 == 0,
+                     np.sin(angles), np.cos(angles))
+    return jnp.asarray(table, jnp.float32)
+
+
+def add_positional_encoding(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """x [B, L, D] + table[:L] (reference ``submodules.py:181-182``:
+    ``x + pos_table[:, :x.size(1)].detach()``)."""
+    return x + jax.lax.stop_gradient(table[: x.shape[1]])[None, :, :]
+
+
+# ---------------------------------------------------------------------------
 # Label-query element-wise attention (reference Multi_GCN_Multihead_att.Attention)
 
 

@@ -7,6 +7,7 @@ The implementation lives in :mod:`mgnns_tpu.nn` (pure functional layers) and
 
 from mgnns_tpu.kernels.edge_max import window_max_aggregate_pallas
 from mgnns_tpu.nn.attention import (
+    add_positional_encoding,
     ffn_apply,
     ffn_init,
     head_diversity,
@@ -18,6 +19,7 @@ from mgnns_tpu.nn.attention import (
     my_another_mha_init,
     my_mha_apply,
     my_mha_init,
+    positional_encoding_table,
 )
 from mgnns_tpu.nn.coattention import (
     coattention_apply,
@@ -37,7 +39,7 @@ from mgnns_tpu.nn.core import (
     linear_init,
 )
 from mgnns_tpu.nn.image_gcn import graph_conv_apply, graph_conv_init
-from mgnns_tpu.nn.lstm import lstm_apply, lstm_init
+from mgnns_tpu.nn.lstm import gru_apply, gru_init, lstm_apply, lstm_init
 from mgnns_tpu.nn.resnet import (
     import_torch_state_dict,
     resnet_apply,
