@@ -119,6 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "Multi_GCN_Multihead_Att torch checkpoint "
                         "(models/import_reference.py); training starts at "
                         "epoch 0 with a fresh optimizer")
+    p.add_argument("--include_dead_modules", action="store_true",
+                   help="also carry the reference modules its forward never "
+                        "runs (GRU 'rnn', gates, linear_1..3, "
+                        "text_object_text/text_place_text attention, the "
+                        "Text_GCN head) so exported checkpoints satisfy a "
+                        "reference-side load_state_dict(strict=True); they "
+                        "stay frozen and cost nothing per step")
     p.add_argument("-e", "--evaluate", action="store_true")
     p.add_argument("--save_experiment_result_path", type=str, default="result/experiment_result")
     p.add_argument("--save_pred_result_path", type=str, default="result/pred_result")
@@ -447,6 +454,7 @@ def main(argv=None) -> dict:
             key, model_cfg, num_edges=graph.num_edges,
             label_embedding=consts_np["label_embedding"],
             object_A=consts_np["object_A"], place_A=consts_np["place_A"],
+            include_dead_modules=args.include_dead_modules,
             vocab_embedding=vocab_embedding, node_embedding=vocab_embedding,
             edge_weights=edge_weights,
         )

@@ -195,6 +195,39 @@ def test_dead_modules_always_frozen_in_optimizer(built_with_dead):
                 assert leaf == "frozen", (name, faithful)
 
 
+def test_cli_include_dead_modules_checkpointed(tmp_path):
+    """--include_dead_modules through the real CLI: the saved checkpoint
+    carries the dead subtrees (their freezing is asserted in
+    test_dead_modules_always_frozen_in_optimizer)."""
+    import os
+    REF = "/root/reference/data"
+    if not os.path.exists(REF):
+        pytest.skip("reference data unavailable")
+    from mgnns_tpu.cli.main import main
+    from mgnns_tpu.engine.checkpoint import Checkpointer
+
+    res = main([
+        "--data_root_path", REF, "--pmi_phase", "val",
+        "--train_phase", "val", "--val_phase", "val", "--test_phase", "val",
+        "--epochs", "1", "-b", "4", "--limit_samples", "4",
+        "--image-size", "32", "--bn_mode", "frozen", "--freeze_trunks",
+        "--lr", "1e-3", "--include_dead_modules",
+        "--save_model_path", str(tmp_path / "ckpt"),
+        "--save_experiment_result_path", str(tmp_path / "exp"),
+        "--save_pred_result_path", str(tmp_path / "pred"),
+    ])
+    assert np.isfinite(res["history"][0]["train"]["loss"])
+    ck = Checkpointer(str(tmp_path / "ckpt" / "mgnns_tpu"))
+    state = ck.restore()
+    ck.close()
+    params = state["params"]
+    for name in ("rnn", "object_gate", "place_linear_2",
+                 "text_object_text_mha", "text_head"):
+        assert name in params, name
+    w = np.asarray(params["object_gate"]["w"])
+    assert np.isfinite(w).all() and w.std() > 0
+
+
 def test_forward_ignores_dead_modules(built_with_dead):
     """mgnns_apply output is bit-identical with and without the dead params."""
     cfg, params, stats, consts = built_with_dead
