@@ -138,7 +138,7 @@ def main():
 
     # probe LAST so its 768 MB of diagnostic traffic cannot inflate
     # time_to_first_result; it still snapshots this run's tunnel conditions
-    # (the rig's H2D rate varies 17-32 MB/s run to run)
+    # (the rig's H2D rate varies 8-32 MB/s run to run)
     probe_rate = h2d_probe()
 
     out = {
