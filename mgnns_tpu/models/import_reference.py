@@ -162,8 +162,17 @@ def import_reference_state_dict(sd: dict, *, num_layers: int = 2,
     p["multi_linear_2"] = _linear(sd, "multi_linear_2")
 
     # dead-but-checkpointed reference modules (module docstring): round-trip
-    # them when the state_dict carries them
-    if "rnn.weight_ih_l0" in sd:
+    # them when the state_dict carries them.  A PARTIAL key set (a pruned or
+    # strict=False-truncated checkpoint) is treated as the module being
+    # absent — real reference checkpoints carry each module whole or not at
+    # all, and the import contract is to tolerate, not to crash.
+    def _maybe(assign_name, fn, *args):
+        try:
+            p[assign_name] = fn(*args)
+        except KeyError:
+            pass
+
+    def _import_gru():
         layers = []
         for l in range(num_layers):
             dir_params = []
@@ -176,18 +185,21 @@ def import_reference_state_dict(sd: dict, *, num_layers: int = 2,
                     "b_hh": _arr(sd[f"rnn.bias_hh_l{l}{suf}"]).astype(np.float32),
                 })
             layers.append(dir_params)
-        p["rnn"] = {"layers": layers}
+        return {"layers": layers}
+
+    if "rnn.weight_ih_l0" in sd:
+        _maybe("rnn", _import_gru)
     for side in ("object", "place"):
         if f"{side}_gate.weight" in sd:
-            p[f"{side}_gate"] = _linear(sd, f"{side}_gate")
+            _maybe(f"{side}_gate", _linear, sd, f"{side}_gate")
         for i in (1, 2, 3):
             if f"{side}_linear_{i}.weight" in sd:
-                p[f"{side}_linear_{i}"] = _linear(sd, f"{side}_linear_{i}")
+                _maybe(f"{side}_linear_{i}", _linear, sd, f"{side}_linear_{i}")
         if f"text_{side}_text_multi_head_att.slf_attn.w_qs.weight" in sd:
-            p[f"text_{side}_text_mha"] = _mha_block(
-                sd, f"text_{side}_text_multi_head_att")
+            _maybe(f"text_{side}_text_mha", _mha_block,
+                   sd, f"text_{side}_text_multi_head_att")
     if "text_features.Linear.weight" in sd:
-        p["text_head"] = _linear(sd, "text_features.Linear")
+        _maybe("text_head", _linear, sd, "text_features.Linear")
     import jax
     import jax.numpy as jnp
 

@@ -83,12 +83,34 @@ def test_roundtrip_forward_equal(built):
 
 
 def test_import_tolerates_dead_reference_modules(built):
-    """Checkpoints contain GRU/gate/unused-linear weights — must be ignored."""
+    """Dead-module keys in a checkpoint never crash the import: COMPLETE
+    dead modules round-trip (tests/test_dead_modules.py covers the full
+    surface); a PARTIAL subtree (pruned / strict=False-truncated checkpoint)
+    is treated as absent."""
     cfg, params, stats, consts = built
     sd = export_reference_state_dict(params, stats)
+    # partial GRU: only one of the 8 expected rnn.* keys -> skipped
     sd["rnn.weight_ih_l0"] = np.zeros((450, 300), np.float32)
+    # complete (bias-less) dead linears -> imported, and ignored by forward
     sd["object_gate.weight"] = np.zeros((300, 600), np.float32)
     sd["object_linear_1.weight"] = np.zeros((1024, 2048), np.float32)
     sd["text_features.Linear.weight"] = np.zeros((7, 300), np.float32)
     p2, s2 = import_reference_state_dict(sd)
-    assert "rnn" not in p2 and "object_gate" not in p2
+    assert "rnn" not in p2
+    assert "object_gate" in p2 and "text_head" in p2
+    # the imported dead params do not perturb the forward
+    import jax.numpy as jnp
+    r = np.random.default_rng(3)
+    B, L = 2, 8
+    batch = {
+        "ids": jnp.asarray(r.integers(1, 60, (B, L)).astype(np.int32)),
+        "lens": jnp.full((B,), L, jnp.int32),
+        "mask": jnp.ones((B, L), jnp.float32),
+        "eids": jnp.asarray(r.integers(0, 40, (B, L, 9)).astype(np.int32)),
+        "image": jnp.asarray(r.standard_normal((B, 64, 64, 3)).astype(np.float32)),
+        "object_inp": jnp.asarray(r.standard_normal((5, 300)).astype(np.float32)),
+        "place_inp": jnp.asarray(r.standard_normal((6, 300)).astype(np.float32)),
+    }
+    a, _, _ = mgnns_apply(params, stats, consts, batch, cfg=cfg, train=False)
+    b, _, _ = mgnns_apply(p2, s2, consts, batch, cfg=cfg, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -27,11 +27,17 @@ def timed(fn, args, iters, readback):
     return (time.perf_counter() - t0) / iters
 
 
-def measured_bf16_peak(n: int = 8192, chain: int = 8, iters: int = 8) -> float:
+def measured_bf16_peak(n: int = 8192, chain: int = 128, iters: int = 8) -> float:
     """Sustained bf16 matmul TFLOP/s of THIS chip: a chained ``n^3`` matmul
     loop (data-dependent, so nothing dead-code eliminates), scalar readback.
-    The measured number (162.1 on this v5e), not the datasheet 197, is the
-    denominator for every MFU/%-of-peak figure the tools report."""
+    The measured number (173.6 on this v5e), not the datasheet 197, is the
+    denominator for every MFU/%-of-peak figure the tools report.
+
+    chain=128 (round 5): short chains under-measure through the tunnel's
+    dispatch+readback latency, and by a run-varying amount — chain=8 read
+    118-152 TF/s across runs while chain=32/128 converge to 170/174 on the
+    same chip minutes apart.  ~0.9 s/call at 128 amortizes the round trip
+    below the noise floor."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -14,7 +14,7 @@ assumed — numbers:
 
 Run ON TPU (the default platform):  python tools/roofline.py
 Prints a markdown table for docs/PERFORMANCE.md plus one JSON line, and
-writes results/r3/roofline.json.
+writes results/r5/roofline.json.
 """
 
 import json
@@ -140,7 +140,7 @@ def main():
                         "pct_of_peak": round(100 * tf / peak_tflops, 1)}
     results["batch"] = B
     results["backend"] = jax.default_backend()
-    out_path = os.path.join(ROOT, "results", "r3", "roofline.json")
+    out_path = os.path.join(ROOT, "results", "r5", "roofline.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
