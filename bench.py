@@ -295,16 +295,21 @@ def _load_prev_round_value():
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
+        # tolerate any malformed prior-round file (non-dict top level,
+        # missing/null value from a failed run): crashing HERE would lose
+        # this run's measurements at the very last step
         try:
             with open(path) as f:
                 parsed = json.load(f).get("parsed") or {}
-        except (json.JSONDecodeError, OSError):
-            continue
-        if parsed.get("metric") != "mgnns_eval_samples_per_sec_per_chip":
+            if parsed.get("metric") != "mgnns_eval_samples_per_sec_per_chip":
+                continue
+            value = float(parsed["value"])
+        except (json.JSONDecodeError, OSError, AttributeError,
+                KeyError, TypeError, ValueError):
             continue
         n = int(m.group(1))
         if best is None or n > best[0]:
-            best = (n, float(parsed["value"]))
+            best = (n, value)
     return best
 
 

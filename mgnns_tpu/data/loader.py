@@ -111,6 +111,21 @@ def _build_image_table_pipelined(ds, num_threads: int, chunk_rows: int = 128):
         starts.append(N - C)  # shifted tail: uniform [C, row] writes
 
     q: queue.Queue = queue.Queue(maxsize=2)
+    dead = threading.Event()  # consumer gone: producer must exit, not block
+
+    def _put(item) -> bool:
+        # bounded put that gives up if the consumer died (e.g. device_put
+        # OOM mid-build) — a plain q.put would park this thread forever
+        # with the decode pool and ~2 pinned pixel chunks leaked
+        import queue as _queue
+
+        while not dead.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def produce():  # host-only: no JAX dispatch off the consumer thread
         pool = ThreadPoolExecutor(num_threads)
@@ -118,24 +133,28 @@ def _build_image_table_pipelined(ds, num_threads: int, chunk_rows: int = 128):
             for s in starts:
                 rows = list(pool.map(ds.load_image, range(s, s + C)))
                 arr = np.stack(rows)
-                q.put((s, arr.reshape(C, -1)))
-            q.put(None)
+                if not _put((s, arr.reshape(C, -1))):
+                    return
+            _put(None)
         except BaseException as e:
-            q.put(e)
+            _put(e)
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
 
     threading.Thread(target=produce, daemon=True).start()
 
     table = jnp.zeros((N, int(np.prod(row_shape))), probe.dtype)
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        s, chunk2d = item
-        table = _write_rows(table, jax.device_put(chunk2d), jnp.int32(s))
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            s, chunk2d = item
+            table = _write_rows(table, jax.device_put(chunk2d), jnp.int32(s))
+    finally:
+        dead.set()
     return table, row_shape
 
 

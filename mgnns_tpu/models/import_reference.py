@@ -32,10 +32,15 @@ used in its forward, so present in every reference checkpoint: ``rnn`` (GRU,
 ``:172-177``), ``object/place_gate`` (``:186-187``), ``object/place_linear_1..3``
 (``:316-326``), the ``text_object_text``/``text_place_text`` attention blocks
 (``:214-245``), and ``text_features.Linear`` (``Text_GCN.py:95``) — round-trip
-when present: import picks them up into the pytrees produced by
-``mgnns_init(include_dead_modules=True)``, and export emits them when the
-params carry them, so a reference-side ``load_state_dict(strict=True)``
-succeeds.  Without the flag they are ignored on import / omitted on export.
+when present: import picks up every COMPLETE dead module it finds in the
+state_dict (no flag — a real reference checkpoint always carries them, and
+they cost nothing: the forward never reads them and the optimizer freezes
+them), treating a partial subtree (pruned/truncated checkpoint) as absent;
+export emits them only when the params carry them (i.e. the model was built
+with ``mgnns_init(include_dead_modules=True)``), which is what makes a
+reference-side ``load_state_dict(strict=True)`` succeed.  To get a
+dead-free pytree from a reference checkpoint, drop the keys before import
+or prune the known names from the result.
 """
 
 from __future__ import annotations

@@ -463,6 +463,9 @@ class BatchingFrontend:
         # encoded chunks handed to the device and not yet finished — the
         # encoder's coalescing signal (see _encode_loop)
         self._inflight = 0
+        # wakes the coalescing encoder when either a new request arrives or
+        # an in-flight chunk finishes (instead of 1 kHz queue polling)
+        self._wake = threading.Condition(self._lock)
         self._encoder = threading.Thread(target=self._encode_loop, daemon=True)
         self._worker = threading.Thread(target=self._device_loop, daemon=True)
         self._encoder.start()
@@ -471,6 +474,7 @@ class BatchingFrontend:
     def _item_done(self) -> None:
         with self._lock:
             self._inflight -= 1
+            self._wake.notify_all()
 
     class Busy(RuntimeError):
         pass
@@ -480,6 +484,8 @@ class BatchingFrontend:
         import threading
         import time
 
+        if not records:
+            return []  # zero chunks would otherwise never set ``done``
         done = threading.Event()
         slot: dict = {}
         t0 = time.perf_counter()
@@ -487,6 +493,8 @@ class BatchingFrontend:
             self._q.put((records, slot, done), block=False)
         except queue.Full:
             raise self.Busy(f"request queue full ({self.max_queue})")
+        with self._lock:
+            self._wake.notify_all()  # a coalescing encoder absorbs it now
         if not done.wait(timeout):
             slot["abandoned"] = True  # worker will drop the result
             raise TimeoutError(f"prediction not ready within {timeout}s")
@@ -528,13 +536,12 @@ class BatchingFrontend:
                     nxt = self._q.get_nowait()
                 except queue.Empty:
                     with self._lock:
-                        busy = self._inflight
-                    if busy < 2:
-                        break  # the device needs feeding: ship what we have
-                    try:
-                        nxt = self._q.get(timeout=0.001)
-                    except queue.Empty:
-                        continue
+                        if self._inflight < 2:
+                            break  # the device needs feeding: ship now
+                        # block until a request arrives or a chunk finishes
+                        # (submit/_item_done notify); timeout is a safety net
+                        self._wake.wait(timeout=0.05)
+                    continue
                 if nxt[1].get("abandoned"):
                     continue
                 if n + len(nxt[0]) > self.predictor.max_batch:
@@ -554,9 +561,17 @@ class BatchingFrontend:
                 acc["need"] = len(chunks)
                 for chunk in chunks:
                     np_batch, n_real = self.predictor._encode_host(chunk)
-                    self._encoded_q.put((group, np_batch, n_real, acc))
+                    # count BEFORE handing over: the device thread can
+                    # consume and _item_done the chunk between put and a
+                    # late increment, driving the counter transiently
+                    # negative and breaking the busy<2 coalescing signal
                     with self._lock:
                         self._inflight += 1
+                    try:
+                        self._encoded_q.put((group, np_batch, n_real, acc))
+                    except BaseException:
+                        self._item_done()
+                        raise
             except Exception as e:  # deliver the failure to every waiter
                 acc["failed"] = True  # chunks already enqueued are dropped
                 self._deliver_error(group, e)
@@ -640,7 +655,11 @@ class BatchingFrontend:
         with self._lock:
             lat = list(self._latencies)
             count = self._count
-        out = {"requests": count, "queue_depth": self._q.qsize()}
+            inflight = self._inflight
+        # backlog = raw requests + encoded chunks awaiting/on the device;
+        # counting only _q hid up to ~3 device batches of real work
+        out = {"requests": count, "queue_depth": self._q.qsize(),
+               "inflight_chunks": inflight}
         if lat:
             ms = _np.array(lat) * 1e3
             out["latency_ms"] = {

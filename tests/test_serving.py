@@ -638,3 +638,64 @@ def test_batching_frontend_coalesces_while_pipe_full():
     assert calls[2:] == [4], calls  # the four arrivals ran as ONE forward
     for i in range(4):
         assert [r["id"] for r in results[f"c{i}"]] == [f"c{i}0"]
+
+
+def test_batching_frontend_empty_submit_returns_immediately():
+    """submit([]) produces zero device chunks, so nothing would ever set the
+    completion event — it must short-circuit to [] (regression: the round-5
+    chunked accumulator hung an empty direct-library submit for its full
+    timeout)."""
+    import time
+
+    from mgnns_tpu.serving import BatchingFrontend
+
+    class Pred(_FakePipelinePredictor):
+        max_batch = 4
+
+        def _fwd(self, p, bs, batch):
+            return batch
+
+    fe = BatchingFrontend(Pred(), max_queue=4)
+    t0 = time.perf_counter()
+    assert fe.submit([], timeout=5) == []
+    assert time.perf_counter() - t0 < 1.0
+    # and the frontend still works for real traffic afterwards
+    assert [r["id"] for r in fe.submit([{"id": "x"}], timeout=10)] == ["x"]
+
+
+def test_batching_frontend_inflight_counter_never_negative():
+    """The in-flight chunk counter is incremented BEFORE the encoded chunk is
+    handed to the device thread (regression: a late increment let the device
+    finish the chunk first, driving the counter transiently negative and
+    breaking the busy<2 coalescing signal)."""
+    import threading
+
+    from mgnns_tpu.serving import BatchingFrontend
+
+    class Pred(_FakePipelinePredictor):
+        max_batch = 2
+
+        def _fwd(self, p, bs, batch):
+            return batch
+
+    fe = BatchingFrontend(Pred(), max_queue=64)
+    seen = []
+    orig = fe._item_done
+
+    def counting_item_done():
+        with fe._lock:
+            seen.append(fe._inflight)
+            fe._inflight -= 1
+            fe._wake.notify_all()
+
+    fe._item_done = counting_item_done
+    threads = [threading.Thread(
+        target=lambda i=i: fe.submit([{"id": f"r{i}"}], timeout=15))
+        for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(20)
+    assert seen and min(seen) >= 1, seen  # pre-decrement value, never < 1
+    with fe._lock:
+        assert fe._inflight == 0

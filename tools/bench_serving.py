@@ -163,7 +163,7 @@ def bench_http(pred, label, clients=8, reqs_per_client=25):
     return out
 
 
-def floor_analysis(results, image_size=448):
+def floor_analysis(results, image_size=None):
     """Derive WHERE the fusion batched-serving ceiling is (round-5 item 2).
 
     The per-stage breakdown separates host decode (overlapped away by the
@@ -176,22 +176,33 @@ def floor_analysis(results, image_size=448):
     fusion = results.get("fusion")
     if not fusion:
         return None
-    bs = fusion["direct"].get("b16") or {}
-    stage = bs.get("stage_p50_ms", {})
     batch = fusion["sustained"]["batch"]
+    # derive, don't hardcode: the direct bench keys its rows by batch size,
+    # and the served model's resolution may not be the 448 default
+    bs = fusion["direct"].get(f"b{batch}") or {}
+    stage = bs.get("stage_p50_ms", {})
+    if image_size is None:
+        image_size = fusion.get("image_size", 448)
     mb = batch * image_size * image_size * 3 / 1e6  # uint8 pixels H2D
     sps = fusion["sustained"]["samples_per_sec"]
     eff_mb_s = sps / batch * mb
+    # chip-side forward reference: the committed roofline, if present
+    fwd_ms = None
+    try:
+        with open(os.path.join(ROOT, "results", "r5", "roofline.json")) as f:
+            fwd_ms = round(json.load(f)["eval_forward"]["seconds"] * 1e3, 1)
+    except (OSError, KeyError, ValueError):
+        pass
     return {
         "pixel_mb_per_batch": round(mb, 2),
         "sustained_samples_per_sec": sps,
         "effective_h2d_mb_per_s": round(eff_mb_s, 1),
         "readback_p50_ms": stage.get("readback_ms"),
         "decode_p50_ms": stage.get("decode_images_ms"),
-        "chip_forward_ms_b32_roofline": 29.6,
+        "chip_forward_ms_b32_roofline": fwd_ms,
         "mb_per_s_needed_for_150sps": round(150 / batch * mb, 1),
         "note": ("sustained period ~= max(decode, H2D+forward); readback "
-                 "(wire wait + ~15 ms forward) dominates -> the tunnel's "
+                 "(wire wait + forward) dominates -> the tunnel's "
                  "H2D bandwidth is the batched-serving floor on this rig, "
                  "not host decode or the chip"),
     }
@@ -252,6 +263,7 @@ def main():
         image_backend="synthetic", strict_images=False)
     pred_f.warm()
     results["fusion"] = {
+        "image_size": pred_f.image_size,
         "direct": bench_direct(pred_f, "fusion", n_iters=25),
         "sustained": bench_sustained(pred_f, "fusion"),
         "http": bench_http(pred_f, "fusion", clients=8, reqs_per_client=10),
