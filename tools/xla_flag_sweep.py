@@ -1,4 +1,9 @@
-"""TPU compiler-flag sweep over the full fine-tune train step (bench train mode).
+"""TPU compiler-flag sweep over a bench mode (default: the fine-tune train step).
+
+SWEEP_MODE / SWEEP_OUT / SWEEP_COMBOS env vars select the bench mode
+(`train` | `full` | `text`), the output JSON path, and an optional
+comma-separated subset of COMBOS (round 5: the r3 sweep only covered the
+train step; the eval headline path gets its own sweep).
 
 VERDICT r2 item 3 asked for a recorded XLA-flag sweep alongside the roofline
 analysis.  Channel discovery (this rig, axon tunnel): TPU-specific
@@ -35,8 +40,12 @@ COMBOS = {
 
 def run_combo(name: str, flags: str) -> dict:
     env = dict(os.environ)
-    env["MGNNS_BENCH_MODE"] = "train"
-    env["MGNNS_BENCH_BATCH"] = os.environ.get("SWEEP_BATCH", "32")
+    mode = os.environ.get("SWEEP_MODE", "train")
+    env["MGNNS_BENCH_MODE"] = mode
+    if mode == "train":
+        env["MGNNS_BENCH_BATCH"] = os.environ.get("SWEEP_BATCH", "32")
+    elif "SWEEP_BATCH" in os.environ:
+        env["MGNNS_BENCH_BATCH"] = os.environ["SWEEP_BATCH"]
     # the persistent compilation cache key does NOT include libtpu flags —
     # a cache hit would silently measure the default-compiled program
     env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
@@ -63,12 +72,15 @@ def run_combo(name: str, flags: str) -> dict:
 
 def main():
     results = []
-    for name, flags in COMBOS.items():
+    subset = os.environ.get("SWEEP_COMBOS", "")
+    combos = {k: COMBOS[k] for k in subset.split(",") if k} if subset else COMBOS
+    for name, flags in combos.items():
         print(f"[sweep] {name}: {flags or '(baseline)'}", flush=True)
         rec = run_combo(name, flags)
         print(f"[sweep]   -> {rec.get('samples_per_sec', 'FAILED')}", flush=True)
         results.append(rec)
-    outp = os.path.join(ROOT, "results", "r3", "xla_flag_sweep.json")
+    outp = os.environ.get(
+        "SWEEP_OUT", os.path.join(ROOT, "results", "r3", "xla_flag_sweep.json"))
     with open(outp, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
